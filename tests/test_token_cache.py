@@ -1,0 +1,74 @@
+import numpy as np
+import pytest
+
+from convdr_tpu.data.token_cache import (
+    TokenCache,
+    TokenCacheWriter,
+    attention_mask_from_lengths,
+    load_offset2pid,
+    save_id_maps,
+)
+
+
+@pytest.fixture()
+def cache_path(tmp_path):
+    base = str(tmp_path / "passages")
+    with TokenCacheWriter(base, max_seq_length=16) as w:
+        for i in range(10):
+            ids = list(range(1, i + 2))  # lengths 1..10
+            w.write(ids)
+    return base
+
+
+def test_roundtrip_single(cache_path):
+    cache = TokenCache(cache_path)
+    assert len(cache) == 10
+    n, ids = cache[3]
+    assert n == 4
+    assert list(ids[:4]) == [1, 2, 3, 4]
+    assert all(ids[4:] == 0)
+
+
+def test_reference_record_layout(cache_path):
+    """Bytes on disk match the reference layout (tokenizing.py:116)."""
+    with open(cache_path, "rb") as f:
+        rec = f.read(4 + 16 * 4)
+    assert int.from_bytes(rec[:4], "big") == 1
+    ids = np.frombuffer(rec[4:], dtype=np.int32)
+    assert ids[0] == 1 and ids[1] == 0
+
+
+def test_batch_access(cache_path):
+    cache = TokenCache(cache_path)
+    ids, lens = cache.batch([0, 5, 9])
+    assert ids.shape == (3, 16)
+    assert list(lens) == [1, 6, 10]
+    mask = attention_mask_from_lengths(lens, 16)
+    assert mask.sum() == 1 + 6 + 10
+
+
+def test_truncation(tmp_path):
+    base = str(tmp_path / "p")
+    with TokenCacheWriter(base, max_seq_length=4) as w:
+        w.write(list(range(100, 110)))
+    cache = TokenCache(base)
+    n, ids = cache[0]
+    assert n == 4
+    assert list(ids) == [100, 101, 102, 103]
+
+
+def test_sharded_iteration(cache_path):
+    """Round-robin shards cover all rows disjointly (util.py:423-424)."""
+    cache = TokenCache(cache_path)
+    seen = []
+    for shard in range(3):
+        for ids, lens, offsets in cache.iter_batches(
+            4, shard_index=shard, num_shards=3
+        ):
+            seen.extend([o for o in offsets if o >= 0])
+    assert sorted(seen) == list(range(10))
+
+
+def test_id_maps(tmp_path):
+    save_id_maps(str(tmp_path), [7, 3, 9])
+    assert load_offset2pid(str(tmp_path)) == [7, 3, 9]
