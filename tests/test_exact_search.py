@@ -1,0 +1,142 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from convdr_tpu.ops.exact_search import (
+    NEG_INF,
+    flat_ip_topk,
+    merge_topk,
+    topk_oracle,
+)
+from convdr_tpu.parallel.mesh import get_mesh, pad_to_multiple
+from convdr_tpu.parallel.sharded_search import sharded_flat_ip_topk
+
+
+def random_problem(rng, q=7, n=500, d=32):
+    queries = rng.randn(q, d).astype(np.float32)
+    passages = rng.randn(n, d).astype(np.float32)
+    return queries, passages
+
+
+def test_oracle_basic(rng):
+    q, p = random_problem(rng)
+    s, i = topk_oracle(q, p, 10)
+    assert s.shape == (7, 10) and i.shape == (7, 10)
+    # descending scores
+    assert np.all(np.diff(s, axis=1) <= 0)
+    # matches brute force
+    full = q @ p.T
+    np.testing.assert_allclose(s[0], np.sort(full[0])[::-1][:10], rtol=1e-6)
+
+
+def test_oracle_tie_break_low_index():
+    q = np.ones((1, 4), np.float32)
+    p = np.zeros((6, 4), np.float32)
+    p[2] = 1.0
+    p[4] = 1.0  # same score as row 2
+    s, i = topk_oracle(q, p, 3)
+    assert i[0, 0] == 2 and i[0, 1] == 4
+
+
+def test_oracle_k_exceeds_n():
+    q = np.ones((2, 4), np.float32)
+    p = np.ones((3, 4), np.float32)
+    s, i = topk_oracle(q, p, 5)
+    assert i.shape == (2, 5)
+    assert list(i[0, 3:]) == [-1, -1]
+    assert s[0, 3] == NEG_INF
+
+
+@pytest.mark.parametrize("block_rows", [64, 128, 500, 1000])
+def test_flat_ip_matches_oracle(rng, block_rows):
+    q, p = random_problem(rng, q=5, n=500)
+    os_, oi = topk_oracle(q, p, 25)
+    s, i = flat_ip_topk(jnp.asarray(q), jnp.asarray(p), 25, block_rows=block_rows)
+    np.testing.assert_array_equal(np.asarray(i), oi)
+    np.testing.assert_allclose(np.asarray(s), os_, rtol=1e-5)
+
+
+def test_flat_ip_tie_break(rng):
+    q = np.ones((1, 8), np.float32)
+    p = np.zeros((300, 8), np.float32)
+    for idx in (5, 64, 130, 290):
+        p[idx] = 1.0
+    s, i = flat_ip_topk(jnp.asarray(q), jnp.asarray(p), 4, block_rows=128)
+    assert list(np.asarray(i)[0]) == [5, 64, 130, 290]
+
+
+def test_flat_ip_valid_rows(rng):
+    """Padding rows (zeros) must never enter the top-k."""
+    q, p = random_problem(rng, q=3, n=100)
+    padded = np.concatenate([p, np.zeros((28, p.shape[1]), np.float32)])
+    os_, oi = topk_oracle(q, p, 100)
+    s, i = flat_ip_topk(jnp.asarray(q), jnp.asarray(padded), 100, block_rows=64,
+                        valid_rows=100)
+    np.testing.assert_array_equal(np.asarray(i), oi)
+
+
+def test_flat_ip_bf16_storage(rng):
+    """bf16 storage with fp32 accumulation: ranks close to fp32 oracle."""
+    q, p = random_problem(rng, q=4, n=400, d=64)
+    s32, i32 = topk_oracle(q, p, 10)
+    s, i = flat_ip_topk(
+        jnp.asarray(q), jnp.asarray(p, dtype=jnp.bfloat16), 10, block_rows=128
+    )
+    # bf16 rounding perturbs scores; top-1 should still overlap strongly
+    overlap = np.mean([
+        len(set(np.asarray(i)[r]) & set(i32[r])) / 10 for r in range(4)
+    ])
+    assert overlap > 0.7
+
+
+def test_merge_topk_prefers_first_list():
+    s_a = jnp.asarray([[5.0, 3.0]])
+    i_a = jnp.asarray([[10, 11]], dtype=jnp.int32)
+    s_b = jnp.asarray([[5.0, 4.0]])
+    i_b = jnp.asarray([[20, 21]], dtype=jnp.int32)
+    s, i = merge_topk(s_a, i_a, s_b, i_b, 3)
+    assert list(np.asarray(i)[0]) == [10, 20, 21]
+    assert list(np.asarray(s)[0]) == [5.0, 5.0, 4.0]
+
+
+def test_sharded_matches_oracle(rng):
+    mesh = get_mesh(("index",))
+    n_dev = mesh.shape["index"]
+    q, p = random_problem(rng, q=6, n=333, d=32)
+    n_pad = pad_to_multiple(333, n_dev)
+    padded = np.concatenate([p, np.zeros((n_pad - 333, 32), np.float32)])
+    os_, oi = topk_oracle(q, p, 50)
+    s, i = sharded_flat_ip_topk(
+        mesh, jnp.asarray(q), jnp.asarray(padded), 50,
+        valid_rows=333, block_rows=64,
+    )
+    np.testing.assert_array_equal(np.asarray(i), oi)
+    np.testing.assert_allclose(np.asarray(s), os_, rtol=1e-5)
+
+
+def test_sharded_tie_break_across_shards(rng):
+    mesh = get_mesh(("index",))
+    n_dev = mesh.shape["index"]
+    if n_dev < 2:
+        pytest.skip("needs >= 2 devices")
+    n = n_dev * 16
+    q = np.ones((1, 8), np.float32)
+    p = np.zeros((n, 8), np.float32)
+    # equal winners on shard 0 and the last shard
+    p[3] = 1.0
+    p[n - 5] = 1.0
+    s, i = sharded_flat_ip_topk(mesh, jnp.asarray(q), jnp.asarray(p), 2)
+    assert list(np.asarray(i)[0]) == [3, n - 5]
+
+
+def test_sharded_k_larger_than_shard(rng):
+    """k greater than rows-per-shard still returns global top-k."""
+    mesh = get_mesh(("index",))
+    n_dev = mesh.shape["index"]
+    n = n_dev * 8  # 8 rows per shard < k
+    q, p = random_problem(rng, q=2, n=n, d=16)
+    os_, oi = topk_oracle(q, p, 20)
+    s, i = sharded_flat_ip_topk(mesh, jnp.asarray(q), jnp.asarray(p), 20)
+    # slots beyond n are -1-padded in both
+    np.testing.assert_array_equal(np.asarray(i), oi)
