@@ -1,0 +1,146 @@
+"""Blocked exact search driver: stream embedding blocks through the TPU.
+
+Drop-in replacement for the reference's ``search_one_by_one``
+(/root/reference/drivers/run_convdr_inference.py:157-242): load block b,
+search, map local rows to token-cache offsets via the block's id array
+(:190-191), merge with the running top-N preferring earlier blocks on ties
+(:217-229) -- except the FAISS ``index.add``/``search``/``reset`` cycle
+becomes a jitted MXU matmul + fused top-k per block (optionally sharded over
+an ``index`` mesh axis), and the Python 2-pointer merge becomes the stable
+on-device merge of :func:`convdr_tpu.ops.exact_search.merge_topk`.
+
+Blocks are padded to bucket sizes so XLA compiles a handful of shapes, not
+one per block.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from convdr_tpu.core.config import SearchConfig
+from convdr_tpu.ops.exact_search import NEG_INF, flat_ip_topk, merge_topk
+from convdr_tpu.parallel.mesh import pad_to_multiple
+from convdr_tpu.parallel.sharded_search import sharded_flat_ip_topk
+from convdr_tpu.retrieval.blocks import iter_embedding_blocks
+
+logger = logging.getLogger(__name__)
+
+
+class BlockedSearcher:
+    """Exact top-N retrieval over on-disk embedding blocks."""
+
+    def __init__(
+        self,
+        config: SearchConfig = SearchConfig(),
+        *,
+        mesh: Optional[Mesh] = None,
+        index_axis: str = "index",
+    ):
+        self.config = config
+        self.mesh = mesh
+        self.index_axis = index_axis
+
+    def _bucket_rows(self, n: int) -> int:
+        """Pad block row counts to power-of-two buckets >= 8192 to bound the
+        number of distinct compiled shapes."""
+        bucket = 8192
+        if self.mesh is not None:
+            bucket = max(bucket, self.mesh.shape[self.index_axis] * 128)
+        while bucket < n:
+            bucket *= 2
+        return bucket
+
+    def search_block(
+        self, query_embs: np.ndarray, block_embs: np.ndarray, top_n: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Top-N of one block; returns (scores, local row indices)."""
+        n = block_embs.shape[0]
+        padded_n = self._bucket_rows(n)
+        storage_dtype = jnp.dtype(self.config.storage_dtype)
+        if padded_n != n:
+            block_embs = np.concatenate(
+                [
+                    block_embs,
+                    np.zeros((padded_n - n, block_embs.shape[1]), block_embs.dtype),
+                ]
+            )
+        p = jnp.asarray(block_embs, dtype=storage_dtype)
+        q = jnp.asarray(query_embs)
+        if self.mesh is not None:
+            s, i = sharded_flat_ip_topk(
+                self.mesh,
+                q,
+                p,
+                top_n,
+                valid_rows=n,
+                block_rows=self.config.passage_block_size,
+                axis=self.index_axis,
+            )
+        else:
+            s, i = flat_ip_topk(
+                q,
+                p,
+                top_n,
+                block_rows=min(self.config.passage_block_size, padded_n),
+                valid_rows=n,
+            )
+        return np.asarray(s), np.asarray(i)
+
+    def search_blocks(
+        self,
+        ann_data_dir: str,
+        query_embs: np.ndarray,
+        top_n: int,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Search all blocks under ``ann_data_dir``; returns
+        (scores [Q, top_n] desc, token-cache offsets [Q, top_n], -1 padded).
+        """
+        merged_s: Optional[jnp.ndarray] = None
+        merged_i: Optional[jnp.ndarray] = None
+        qn = query_embs.shape[0]
+        n_blocks = 0
+        for block_id, emb, emb2offset in iter_embedding_blocks(ann_data_dir):
+            n_blocks += 1
+            logger.info(
+                "searching block %d: %s passages", block_id, emb.shape[0]
+            )
+            ts = time.time()
+            s, i = self.search_block(query_embs, emb, top_n)
+            elapsed = time.time() - ts
+            logger.info(
+                "block %d search: total=%.4fs queries=%d per_query=%.6fs",
+                block_id, elapsed, qn, elapsed / max(qn, 1),
+            )
+            # local row -> token-cache offset; -1 rows stay -1
+            offsets = np.where(i >= 0, emb2offset[np.clip(i, 0, None)], -1)
+            s_j, o_j = jnp.asarray(s), jnp.asarray(offsets.astype(np.int64))
+            if merged_s is None:
+                merged_s, merged_i = s_j, o_j
+            else:
+                merged_s, merged_i = merge_topk(
+                    merged_s, merged_i, s_j, o_j, top_n
+                )
+        if merged_s is None:
+            raise FileNotFoundError(f"No embedding blocks found in {ann_data_dir}")
+        out_s = np.asarray(merged_s)
+        out_i = np.asarray(merged_i)
+        out_i = np.where(out_s <= NEG_INF, -1, out_i)
+        return out_s, out_i
+
+    def search_arrays(
+        self,
+        query_embs: np.ndarray,
+        passage_embs: np.ndarray,
+        emb2offset: np.ndarray,
+        top_n: int,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """In-memory single-block convenience path."""
+        s, i = self.search_block(query_embs, passage_embs, top_n)
+        offsets = np.where(i >= 0, emb2offset[np.clip(i, 0, None)], -1)
+        return s, offsets

@@ -1,0 +1,237 @@
+"""Minimum end-to-end slice (SURVEY.md §7): collection -> token cache ->
+embedding blocks -> exact search -> TREC run -> metrics, plus KD training
+moving the student toward the teacher."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from convdr_tpu.core.config import (
+    EncoderArchConfig,
+    ModelConfig,
+    SearchConfig,
+    TrainConfig,
+)
+from convdr_tpu.data.collection import load_collection, load_qrels
+from convdr_tpu.data.conv_dataset import ConvSearchDataset
+from convdr_tpu.data.token_cache import (
+    TokenCache,
+    TokenCacheWriter,
+    load_offset2pid,
+    save_id_maps,
+)
+from convdr_tpu.data.tokenizers import ByteLevelBPETokenizer
+from convdr_tpu.evaluation.metrics import evaluate_run, mean_metrics
+from convdr_tpu.models.encoders import AnceEncoder
+from convdr_tpu.retrieval.embed_corpus import generate_embeddings
+from convdr_tpu.retrieval.run_writer import write_run_outputs
+from convdr_tpu.retrieval.searcher import BlockedSearcher
+from convdr_tpu.train.trainer import (
+    create_train_state,
+    make_query_encode_fn,
+    make_train_step,
+)
+
+N_PASSAGES = 40
+
+
+@pytest.fixture(scope="module")
+def pipeline(tmp_path_factory):
+    """Build the tiny corpus artifacts once."""
+    work = tmp_path_factory.mktemp("e2e")
+    raw = work / "raw"
+    processed = work / "processed"
+    embeddings = work / "embeddings"
+    os.makedirs(raw)
+    os.makedirs(processed)
+
+    tok = ByteLevelBPETokenizer.tiny()
+    topics = ["cats", "dogs", "fish", "birds"]
+    # collection: 10 passages per topic
+    with open(raw / "collection.tsv", "w") as f:
+        for pid in range(N_PASSAGES):
+            topic = topics[pid % 4]
+            f.write(f"{pid}\tall about {topic} number {pid}\n")
+
+    # queries + topics jsonl: one conversation per topic
+    with open(raw / "queries.raw.tsv", "w") as f:
+        for t, topic in enumerate(topics):
+            f.write(f"{t + 1}_1\ttell me about {topic}\n")
+    with open(raw / "eval_topics.jsonl", "w") as f:
+        for t, topic in enumerate(topics):
+            f.write(
+                json.dumps(
+                    {
+                        "topic_number": t + 1,
+                        "query_number": 1,
+                        "input": [f"tell me about {topic}"],
+                        "target": f"tell me about {topic}",
+                    }
+                )
+                + "\n"
+            )
+    # qrels: passages of the topic are relevant
+    with open(raw / "qrels.tsv", "w") as f:
+        for t, topic in enumerate(topics):
+            for pid in range(N_PASSAGES):
+                if pid % 4 == t:
+                    f.write(f"{t + 1}_1\t0\t{pid}\t1\n")
+
+    # tokenize collection -> cache (pids shuffled to exercise offset maps)
+    order = np.random.RandomState(0).permutation(N_PASSAGES)
+    offset2pid = []
+    with TokenCacheWriter(str(processed / "passages"), max_seq_length=32) as w:
+        for pid in order:
+            text = f"all about {topics[pid % 4]} number {pid}"
+            w.write(tok.encode(text, add_special_tokens=True, max_length=32))
+            offset2pid.append(int(pid))
+    save_id_maps(str(processed), offset2pid)
+
+    cfg = ModelConfig(
+        name="rdot_nll",
+        arch=EncoderArchConfig.tiny(vocab_size=len(tok) + 2),
+        embedding_dim=32,
+    )
+    model = AnceEncoder(config=cfg)
+    ids0 = jnp.ones((1, 32), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids0, jnp.ones_like(ids0))
+
+    def apply_fn(p, i, m, is_query):
+        method = model.query_emb if is_query else model.body_emb
+        return model.apply(p, i, m, method=method)
+
+    # embed corpus into 2 blocks
+    cache = TokenCache(str(processed / "passages"))
+    rows = generate_embeddings(
+        apply_fn, params, cache, str(embeddings), batch_size=8, num_blocks=2
+    )
+    assert rows == N_PASSAGES
+
+    return {
+        "work": work,
+        "raw": raw,
+        "processed": processed,
+        "embeddings": embeddings,
+        "tok": tok,
+        "model": model,
+        "cfg": cfg,
+        "params": params,
+        "apply_fn": apply_fn,
+    }
+
+
+def test_full_inference_pipeline(pipeline):
+    tok = pipeline["tok"]
+    apply_fn = pipeline["apply_fn"]
+    params = pipeline["params"]
+
+    ds = ConvSearchDataset(
+        [str(pipeline["raw"] / "eval_topics.jsonl")],
+        tok,
+        mode="inference",
+        query_mode="no_res",
+        max_concat_length=48,
+    )
+    encode = make_query_encode_fn(apply_fn)
+    qids, embs, raws = [], [], {}
+    for batch in ds.batches(2):
+        out = encode(
+            params,
+            jnp.asarray(batch["concat_ids"]),
+            jnp.asarray(batch["concat_mask"]),
+        )
+        embs.append(np.asarray(out))
+        qids.extend(batch["qid"])
+        for qid, seq in zip(batch["qid"], batch["history_utterances"]):
+            raws[qid] = seq
+    query_embs = np.concatenate(embs, axis=0)
+
+    searcher = BlockedSearcher(SearchConfig(passage_block_size=32))
+    scores, offsets = searcher.search_blocks(
+        str(pipeline["embeddings"]), query_embs, 10
+    )
+    offset2pid = load_offset2pid(str(pipeline["processed"]))
+    qrels = load_qrels(str(pipeline["raw"] / "qrels.tsv"))
+    queries = {}
+    with open(pipeline["raw"] / "queries.raw.tsv") as f:
+        for line in f:
+            qid, text = line.strip().split("\t")
+            queries[qid] = text
+    collection = load_collection(str(pipeline["raw"] / "collection.tsv"))
+
+    trec = str(pipeline["work"] / "run.trec")
+    om = str(pipeline["work"] / "run.jsonl")
+    run = write_run_outputs(
+        qids, scores, offsets, offset2pid, 10,
+        output_trec_file=trec, output_file=om,
+        queries=queries, collection=collection, qrels=qrels,
+        raw_sequences=raws,
+    )
+    assert len(run) == 4
+    assert os.path.exists(trec) and os.path.exists(om)
+    per_q = evaluate_run(run, qrels, ndcg_cuts=(3,), recall_cuts=(10,))
+    means = mean_metrics(per_q)
+    # random model: metrics defined and in range
+    assert 0.0 <= means["ndcg_cut_3"] <= 1.0
+    assert 0.0 <= means["recall_10"] <= 1.0
+    # every line of the OpenMatch output carries a label field
+    for line in open(om):
+        assert "label" in json.loads(line)
+
+
+def test_search_exactness_against_oracle(pipeline):
+    """Blocked search over the generated blocks == oracle over the full
+    embedding matrix: the 'recall@k bit-equal' requirement of BASELINE.md."""
+    from convdr_tpu.ops.exact_search import topk_oracle
+    from convdr_tpu.retrieval.blocks import iter_embedding_blocks
+
+    rows = {}
+    for _b, emb, off in iter_embedding_blocks(str(pipeline["embeddings"])):
+        for e, o in zip(emb, off):
+            rows[int(o)] = e
+    full = np.stack([rows[i] for i in range(N_PASSAGES)])
+
+    q = np.random.RandomState(1).randn(3, full.shape[1]).astype(np.float32)
+    searcher = BlockedSearcher(SearchConfig(passage_block_size=16))
+    s, offsets = searcher.search_blocks(str(pipeline["embeddings"]), q, 15)
+    os_, oi = topk_oracle(q, full, 15)
+    np.testing.assert_array_equal(offsets, oi.astype(np.int64))
+    np.testing.assert_allclose(s, os_, rtol=1e-5)
+
+
+def test_kd_training_moves_student_to_teacher(pipeline):
+    tok = pipeline["tok"]
+    model = pipeline["model"]
+    apply_fn = pipeline["apply_fn"]
+    teacher_params = pipeline["params"]
+
+    ds = ConvSearchDataset(
+        [str(pipeline["raw"] / "eval_topics.jsonl")],
+        tok,
+        mode="train",
+        query_mode="no_res",
+        max_concat_length=48,
+        max_query_length=48,
+    )
+    batch = next(ds.batches(4))
+    dev_batch = {
+        "concat_ids": jnp.asarray(batch["concat_ids"]),
+        "concat_mask": jnp.asarray(batch["concat_mask"]),
+        "target_ids": jnp.asarray(batch["target_ids"]),
+        "target_mask": jnp.asarray(batch["target_mask"]),
+    }
+    student_params = model.init(
+        jax.random.PRNGKey(7), dev_batch["concat_ids"], dev_batch["concat_mask"]
+    )
+    tcfg = TrainConfig(learning_rate=5e-3)
+    state, tx = create_train_state(student_params, tcfg, total_steps=30)
+    step = make_train_step(apply_fn, apply_fn, tx, tcfg)
+    losses = []
+    for _ in range(30):
+        state, metrics = step(state, teacher_params, dev_batch)
+        losses.append(float(metrics["mse_loss"]))
+    assert losses[-1] < losses[0] * 0.5, losses[::10]

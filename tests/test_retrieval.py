@@ -1,0 +1,120 @@
+import json
+
+import numpy as np
+import pytest
+
+from convdr_tpu.core.config import SearchConfig
+from convdr_tpu.data.collection import Collection
+from convdr_tpu.ops.exact_search import topk_oracle
+from convdr_tpu.parallel.mesh import get_mesh
+from convdr_tpu.retrieval.blocks import (
+    iter_embedding_blocks,
+    load_embedding_block,
+    write_embedding_block,
+)
+from convdr_tpu.retrieval.run_writer import (
+    build_run,
+    dedup_ranked_candidates,
+    write_run_outputs,
+)
+from convdr_tpu.retrieval.searcher import BlockedSearcher
+
+
+def test_block_roundtrip(tmp_path):
+    emb = np.random.RandomState(0).randn(10, 8).astype(np.float32)
+    ids = np.arange(10, dtype=np.int64)
+    write_embedding_block(str(tmp_path), 0, emb, ids)
+    back = load_embedding_block(str(tmp_path), 0)
+    np.testing.assert_array_equal(back[0], emb)
+    np.testing.assert_array_equal(back[1], ids)
+
+
+def test_block_reference_filenames(tmp_path):
+    """Files must match the reference naming (run_convdr_inference.py:163-175)."""
+    write_embedding_block(str(tmp_path), 3, np.zeros((1, 4), np.float32),
+                          np.zeros(1, np.int64))
+    assert (tmp_path / "passage__emb_p__data_obj_3.pb").exists()
+    assert (tmp_path / "passage__embid_p__data_obj_3.pb").exists()
+
+
+def test_iter_stops_at_gap(tmp_path):
+    for b in (0, 1, 3):  # gap at 2
+        write_embedding_block(str(tmp_path), b, np.zeros((2, 4), np.float32),
+                              np.arange(2))
+    seen = [b for b, _, _ in iter_embedding_blocks(str(tmp_path))]
+    assert seen == [0, 1]
+
+
+def make_blocks(tmp_path, rng, n=200, d=16, n_blocks=3):
+    """Split a corpus row-robin into blocks like the reference's ranks."""
+    passages = rng.randn(n, d).astype(np.float32)
+    for b in range(n_blocks):
+        rows = np.arange(b, n, n_blocks)
+        write_embedding_block(str(tmp_path), b, passages[rows], rows.astype(np.int64))
+    return passages
+
+
+def test_blocked_search_matches_oracle(tmp_path, rng):
+    passages = make_blocks(tmp_path, rng)
+    queries = rng.randn(5, 16).astype(np.float32)
+    searcher = BlockedSearcher(SearchConfig(passage_block_size=64))
+    s, offsets = searcher.search_blocks(str(tmp_path), queries, 30)
+    os_, oi = topk_oracle(queries, passages, 30)
+    np.testing.assert_allclose(s, os_, rtol=1e-5)
+    # offsets are global corpus rows here (cache offsets)
+    np.testing.assert_array_equal(offsets, oi.astype(np.int64))
+
+
+def test_blocked_search_sharded_matches_oracle(tmp_path, rng):
+    mesh = get_mesh(("index",))
+    passages = make_blocks(tmp_path, rng, n=160)
+    queries = rng.randn(4, 16).astype(np.float32)
+    searcher = BlockedSearcher(SearchConfig(passage_block_size=64), mesh=mesh)
+    s, offsets = searcher.search_blocks(str(tmp_path), queries, 20)
+    os_, oi = topk_oracle(queries, passages, 20)
+    np.testing.assert_array_equal(offsets, oi.astype(np.int64))
+
+
+def test_search_missing_dir(tmp_path):
+    searcher = BlockedSearcher()
+    with pytest.raises(FileNotFoundError):
+        searcher.search_blocks(str(tmp_path), np.zeros((1, 4), np.float32), 5)
+
+
+# ---------------- run writer ----------------
+def test_dedup_keeps_best_rank():
+    offset2pid = [100, 101, 100, 102]  # offsets 0 and 2 are the same pid
+    scores = [9.0, 8.0, 7.0, 6.0]
+    offsets = [0, 2, 1, 3]
+    out = dedup_ranked_candidates(scores, offsets, offset2pid, 3)
+    assert out == [(100, 9.0), (101, 7.0), (102, 6.0)]
+
+
+def test_dedup_skips_invalid():
+    out = dedup_ranked_candidates([5.0, 4.0], [-1, 0], [7], 5)
+    assert out == [(7, 4.0)]
+
+
+def test_write_run_outputs(tmp_path):
+    offset2pid = [10, 11, 12]
+    qids = ["31_1", "31_2"]
+    scores = np.asarray([[3.0, 2.0], [5.0, 1.0]])
+    offsets = np.asarray([[2, 0], [1, 2]])
+    queries = {"31_1": "query one", "31_2": "query two"}
+    collection = Collection({10: "doc ten", 11: "doc eleven", 12: "doc twelve"})
+    qrels = {"31_1": {12: 2}}
+    trec = str(tmp_path / "run.trec")
+    om = str(tmp_path / "run.jsonl")
+    run = write_run_outputs(
+        qids, scores, offsets, offset2pid, 2,
+        output_trec_file=trec, output_file=om,
+        queries=queries, collection=collection, qrels=qrels,
+        raw_sequences={"31_1": ["q1"], "31_2": ["q1", "q2"]},
+    )
+    assert run["31_1"][0] == (12, 3.0)
+    lines = open(om).read().strip().split("\n")
+    rec = json.loads(lines[0])
+    assert rec["label"] == 2 and rec["doc"] == "doc twelve"
+    assert rec["input"] == ["q1"]
+    trec_lines = open(trec).read().strip().split("\n")
+    assert trec_lines[0] == "31_1 Q0 12 1 199 ance"
