@@ -169,9 +169,10 @@ def test_teacher_frozen(rng):
         np.testing.assert_array_equal(a, b)
 
 
-def test_data_parallel_step_matches_single(rng):
+def test_data_parallel_step_matches_single():
     """Sharded-batch step == unsharded step (grad psum correctness)."""
     mesh = get_mesh(("data",))
+    rng = np.random.RandomState(123)  # local: independent of test order
     cfg, model, apply_fn, params, teacher_params, tcfg, batch = make_setup(
         rng, batch=8
     )
