@@ -1,0 +1,86 @@
+"""CLI: embed the tokenized corpus into retrieval blocks.
+
+Replaces /root/reference/drivers/gen_passage_embeddings.py. The reference
+needs ``python -m torch.distributed.launch --nproc_per_node=N`` plus NCCL
+(:305-316); here one invocation drives the whole mesh (data-parallel encode
+under pjit) and writes reference-format blocks. Flags mirror the reference
+(--data_dir, --checkpoint, --model_type, --output_dir,
+--per_gpu_eval_batch_size honored as per-device batch) plus --num_blocks
+(default 1; the reference produced one block per GPU rank).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+import jax
+import jax.numpy as jnp
+
+from convdr_tpu.core.loading import load_model_and_params, make_apply_fn
+from convdr_tpu.core.registry import MODEL_REGISTRY
+from convdr_tpu.data.token_cache import TokenCache
+from convdr_tpu.parallel.mesh import get_mesh
+from convdr_tpu.retrieval.embed_corpus import generate_embeddings
+
+logger = logging.getLogger(__name__)
+
+
+def get_arguments(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--data_dir", required=True, type=str,
+                        help="Dir holding the tokenized 'passages' cache")
+    parser.add_argument("--checkpoint", required=True, type=str)
+    parser.add_argument("--model_type", required=True, type=str,
+                        choices=sorted(MODEL_REGISTRY))
+    parser.add_argument("--output_dir", required=True, type=str)
+    parser.add_argument("--cache_dir", default=None, type=str)
+    parser.add_argument("--max_seq_length", default=512, type=int)
+    parser.add_argument("--max_query_length", default=64, type=int)
+    parser.add_argument("--max_doc_character", default=10000, type=int)
+    parser.add_argument("--per_gpu_eval_batch_size", default=64, type=int)
+    parser.add_argument("--num_blocks", default=1, type=int)
+    parser.add_argument("--dtype", default="bfloat16",
+                        choices=["float32", "bfloat16"],
+                        help="compute dtype for the encoder")
+    parser.add_argument("--arch_size", default="base", choices=["base", "tiny"],
+                    help="tiny = miniature architecture for smoke tests")
+    parser.add_argument("--no_mesh", action="store_true",
+                        help="disable mesh sharding (single device)")
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    logging.basicConfig(
+        format="%(asctime)s - %(levelname)s - %(name)s - %(message)s",
+        level=logging.INFO,
+    )
+    args = get_arguments(argv)
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    preset = "tiny" if args.arch_size == "tiny" else None
+    _, _, model, params = load_model_and_params(
+        args.model_type, args.checkpoint, dtype=dtype, arch_preset=preset
+    )
+    apply_fn = make_apply_fn(model)
+    cache = TokenCache(os.path.join(args.data_dir, "passages"))
+    mesh = None
+    batch = args.per_gpu_eval_batch_size
+    if not args.no_mesh and len(jax.devices()) > 1:
+        mesh = get_mesh(("data",))
+        batch *= mesh.shape["data"]
+    rows = generate_embeddings(
+        apply_fn,
+        params,
+        cache,
+        args.output_dir,
+        batch_size=batch,
+        num_blocks=args.num_blocks,
+        mesh=mesh,
+    )
+    logger.info("wrote %d embedding rows to %s", rows, args.output_dir)
+    return rows
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,182 @@
+"""CLI: ConvDR retrieval inference + evaluation.
+
+Flag-compatible with /root/reference/drivers/run_convdr_inference.py:245-320
+(--model_path, --eval_file, --ann_data_dir, --qrels, --processed_data_dir,
+--raw_data_dir, --output_file, --output_trec_file, --query,
+--output_query_type, --fold, --model_type, --top_n, --cross_validate).
+The FAISS GPU plumbing (:327-370) is replaced by the TPU BlockedSearcher;
+--use_gpu is accepted and ignored. Improvement over the reference: NDCG@3 /
+MRR / recall@100 are computed in-process and printed (the reference requires
+the external trec_eval binary, README.md:207).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from convdr_tpu.core.config import NUM_FOLD, SearchConfig
+from convdr_tpu.core.loading import load_model_and_params, make_apply_fn
+from convdr_tpu.core.registry import MODEL_REGISTRY
+from convdr_tpu.data.collection import (
+    find_collection,
+    load_collection,
+    load_qrels,
+    load_queries_tsv,
+)
+from convdr_tpu.data.conv_dataset import ConvSearchDataset
+from convdr_tpu.data.token_cache import load_offset2pid
+from convdr_tpu.evaluation.metrics import evaluate_run, mean_metrics
+from convdr_tpu.parallel.mesh import get_mesh
+from convdr_tpu.retrieval.run_writer import write_run_outputs
+from convdr_tpu.retrieval.searcher import BlockedSearcher
+from convdr_tpu.train.trainer import make_query_encode_fn
+from convdr_tpu.utils.observability import PhaseTimer
+
+logger = logging.getLogger(__name__)
+
+
+def get_arguments(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model_path", type=str, required=True)
+    parser.add_argument("--eval_file", type=str, required=True)
+    parser.add_argument("--max_concat_length", default=256, type=int)
+    parser.add_argument("--max_query_length", default=64, type=int)
+    parser.add_argument("--cross_validate", action="store_true")
+    parser.add_argument("--per_gpu_eval_batch_size", default=4, type=int)
+    parser.add_argument("--no_cuda", action="store_true")  # accepted, unused
+    parser.add_argument("--seed", default=42, type=int)
+    parser.add_argument("--cache_dir", type=str, default=None)
+    parser.add_argument("--ann_data_dir", type=str, required=True)
+    parser.add_argument("--use_gpu", action="store_true")  # accepted, unused
+    parser.add_argument("--qrels", type=str, default=None)
+    parser.add_argument("--processed_data_dir", type=str, required=True)
+    parser.add_argument("--raw_data_dir", type=str, required=True)
+    parser.add_argument("--output_file", type=str, default=None)
+    parser.add_argument("--output_trec_file", type=str, default=None)
+    parser.add_argument(
+        "--query", default="no_res",
+        choices=["no_res", "man_can", "auto_can", "target", "output", "raw"],
+    )
+    parser.add_argument("--output_query_type", type=str, required=True)
+    parser.add_argument("--fold", type=int, default=-1)
+    parser.add_argument("--model_type", required=True, type=str,
+                        choices=sorted(MODEL_REGISTRY))
+    parser.add_argument("--top_n", default=100, type=int)
+    parser.add_argument("--dtype", default="float32",
+                        choices=["float32", "bfloat16"])
+    parser.add_argument("--arch_size", default="base", choices=["base", "tiny"],
+                    help="tiny = miniature architecture for smoke tests")
+    parser.add_argument("--no_mesh", action="store_true")
+    return parser.parse_args(argv)
+
+
+def encode_queries(args, model_path, eval_file, dtype):
+    """Load a model and embed all eval queries (evaluate(), :116-154)."""
+    preset = "tiny" if args.arch_size == "tiny" else None
+    _cfg, tokenizer, model, params = load_model_and_params(
+        args.model_type, model_path, dtype=dtype, arch_preset=preset
+    )
+    dataset = ConvSearchDataset(
+        [eval_file],
+        tokenizer,
+        mode="inference",
+        query_mode=args.query,
+        model_type=args.model_type,
+        max_concat_length=args.max_concat_length,
+        max_query_length=args.max_query_length,
+    )
+    encode = make_query_encode_fn(make_apply_fn(model))
+    qids, embs, raw = [], [], {}
+    for batch in dataset.batches(args.per_gpu_eval_batch_size):
+        out = encode(
+            params,
+            jnp.asarray(batch["concat_ids"]),
+            jnp.asarray(batch["concat_mask"]),
+        )
+        embs.append(np.asarray(out))
+        qids.extend(batch["qid"])
+        for qid, seq in zip(batch["qid"], batch["history_utterances"]):
+            raw[qid] = seq
+    return qids, np.concatenate(embs, axis=0), raw
+
+
+def main(argv=None):
+    logging.basicConfig(
+        format="%(asctime)s - %(levelname)s - %(name)s - %(message)s",
+        level=logging.INFO,
+    )
+    args = get_arguments(argv)
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    offset2pid = load_offset2pid(args.processed_data_dir)
+    qrels = load_qrels(args.qrels) if args.qrels else {}
+
+    all_qids, all_embs, all_raw = [], [], {}
+    if not args.cross_validate:
+        qids, embs, raw = encode_queries(
+            args, args.model_path, args.eval_file, dtype
+        )
+        all_qids, all_raw = qids, raw
+        all_embs = [embs]
+    else:
+        for fold in range(NUM_FOLD):
+            if args.fold != -1 and fold != args.fold:
+                continue
+            logger.info("Testing Fold #%d", fold)
+            qids, embs, raw = encode_queries(
+                args,
+                f"{args.model_path}-{fold}",
+                f"{args.eval_file}.{fold}",
+                dtype,
+            )
+            all_qids.extend(qids)
+            all_embs.append(embs)
+            all_raw.update(raw)
+    query_embs = np.concatenate(all_embs, axis=0)
+
+    mesh = None
+    if not args.no_mesh and len(jax.devices()) > 1:
+        mesh = get_mesh(("index",))
+    searcher = BlockedSearcher(SearchConfig(top_n=args.top_n), mesh=mesh)
+    with PhaseTimer("search"):
+        scores, offsets = searcher.search_blocks(
+            args.ann_data_dir, query_embs, args.top_n
+        )
+
+    queries = load_queries_tsv(
+        os.path.join(args.raw_data_dir, f"queries.{args.output_query_type}.tsv")
+    )
+    collection = (
+        load_collection(find_collection(args.raw_data_dir))
+        if args.output_file
+        else None
+    )
+    run = write_run_outputs(
+        all_qids, scores, offsets, offset2pid, args.top_n,
+        output_trec_file=args.output_trec_file,
+        output_file=args.output_file,
+        queries=queries,
+        collection=collection,
+        qrels=qrels,
+        raw_sequences=all_raw,
+    )
+    if qrels:
+        per_q = evaluate_run(
+            run, qrels, ndcg_cuts=(3,), recall_cuts=(args.top_n,)
+        )
+        means = mean_metrics(per_q)
+        logger.info("metrics over %d judged queries: %s", len(per_q), means)
+        print(json.dumps({"num_queries": len(per_q), **means}))
+        return means
+    return run
+
+
+if __name__ == "__main__":
+    main()

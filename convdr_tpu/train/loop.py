@@ -1,0 +1,207 @@
+"""High-level training loop + 5-fold cross-validation harness.
+
+Orchestrates what /root/reference/drivers/run_convdr_train.py:41-252 does in
+its epoch/step loop -- dataset batching, the jitted train step, periodic
+metric logging and checkpointing -- and the fold harness of :255-566:
+``cross_validate`` trains fold ``i`` on files ``{train_file}.{j}, j != i``
+(NUM_FOLD=5, utils/util.py:32) saving to ``{output_dir}-{i}``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from convdr_tpu.core.config import NUM_FOLD, TrainConfig
+from convdr_tpu.data.conv_dataset import ConvSearchDataset
+from convdr_tpu.train.checkpoint import save_checkpoint
+from convdr_tpu.train.ranking_data import (
+    DocumentTokenizerCache,
+    sample_ranking_batch,
+)
+from convdr_tpu.train.trainer import create_train_state, make_train_step
+from convdr_tpu.utils.observability import MetricsLogger
+
+logger = logging.getLogger(__name__)
+
+
+def _device_batch(batch: Dict, config: TrainConfig, doc_cache, rng):
+    out = {
+        "concat_ids": jnp.asarray(batch["concat_ids"]),
+        "concat_mask": jnp.asarray(batch["concat_mask"]),
+        "target_ids": jnp.asarray(batch["target_ids"]),
+        "target_mask": jnp.asarray(batch["target_mask"]),
+    }
+    if config.ranking_task:
+        doc_ids, doc_mask = sample_ranking_batch(
+            batch["documents"], doc_cache, config.num_negatives, rng
+        )
+        out["doc_ids"] = jnp.asarray(doc_ids)
+        out["doc_mask"] = jnp.asarray(doc_mask)
+    return out
+
+
+def train_one_model(
+    dataset: ConvSearchDataset,
+    student_apply: Callable,
+    student_params,
+    teacher_apply: Callable,
+    teacher_params,
+    config: TrainConfig,
+    *,
+    tokenizer=None,
+    output_dir: Optional[str] = None,
+    mesh=None,
+    metrics: Optional[MetricsLogger] = None,
+    fold_id: int = 0,
+    n_devices: int = 1,
+):
+    """Run the full epoch/step loop; returns (final_params, global_step, avg_loss)."""
+    batch_size = config.per_device_batch_size * max(1, n_devices)
+    steps_per_epoch = max(len(dataset) // batch_size, 1)
+    if config.max_steps > 0:
+        t_total = config.max_steps
+        epochs = config.max_steps // max(
+            steps_per_epoch // config.gradient_accumulation_steps, 1
+        ) + 1
+    else:
+        epochs = int(np.ceil(config.num_train_epochs))
+        t_total = (
+            steps_per_epoch // config.gradient_accumulation_steps
+        ) * int(config.num_train_epochs)
+        t_total = max(t_total, 1)
+
+    state, tx = create_train_state(student_params, config, t_total)
+    step_fn = make_train_step(
+        student_apply, teacher_apply, tx, config, mesh=mesh
+    )
+    doc_cache = (
+        DocumentTokenizerCache(tokenizer, config.max_doc_length)
+        if config.ranking_task
+        else None
+    )
+    rng = np.random.RandomState(config.seed)
+
+    logger.info(
+        "***** Running training ***** examples=%d epochs=%d batch=%d total_steps=%d",
+        len(dataset), epochs, batch_size, t_total,
+    )
+    global_step = 0
+    accum: Dict[str, float] = {}
+    n_accum = 0
+    done = False
+    for epoch in range(epochs):
+        for batch in dataset.batches(
+            batch_size, shuffle=True, seed=config.seed + epoch, drop_last=True
+        ):
+            dev_batch = _device_batch(batch, config, doc_cache, rng)
+            state, m = step_fn(state, teacher_params, dev_batch)
+            for k, v in m.items():
+                accum[k] = accum.get(k, 0.0) + float(v)
+            n_accum += 1
+            micro_step = int(state.step)
+            if micro_step % config.gradient_accumulation_steps == 0:
+                global_step = micro_step // config.gradient_accumulation_steps
+                if config.log_steps > 0 and global_step % config.log_steps == 0:
+                    means = {k: v / n_accum for k, v in accum.items()}
+                    logger.info("fold %s step %d %s", fold_id, global_step,
+                                {k: round(v, 5) for k, v in means.items()})
+                    if metrics is not None:
+                        metrics.log(global_step, means)
+                    accum, n_accum = {}, 0
+                if (
+                    output_dir
+                    and config.save_steps > 0
+                    and global_step % config.save_steps == 0
+                ):
+                    ckpt = os.path.join(output_dir, f"checkpoint-{global_step}")
+                    save_checkpoint(ckpt, state,
+                                    metadata={"global_step": global_step})
+                    logger.info("Saved checkpoint %s", ckpt)
+            if config.max_steps > 0 and global_step >= config.max_steps:
+                done = True
+                break
+        if done:
+            break
+
+    avg = accum.get("loss", 0.0) / max(n_accum, 1)
+    return state.params, global_step, avg
+
+
+def run_training(
+    *,
+    train_file: str,
+    load_student: Callable[[int], tuple],
+    teacher_apply: Callable,
+    teacher_params,
+    config: TrainConfig,
+    query_mode: str,
+    model_type: str,
+    output_dir: str,
+    cross_validate: bool = False,
+    init_from_multiple_models: bool = False,
+    mesh=None,
+    n_devices: int = 1,
+    save_fn: Optional[Callable] = None,
+) -> List[str]:
+    """Train once or per-fold. ``load_student(fold)`` -> (tokenizer, apply_fn,
+    params); ``save_fn(params, out_dir)`` persists the final model. Returns
+    the list of output dirs written."""
+    outputs = []
+    folds = range(NUM_FOLD) if cross_validate else [None]
+    metrics = MetricsLogger(output_dir)
+    for fold in folds:
+        fold_id = -1 if fold is None else fold
+        tokenizer, student_apply, student_params = load_student(
+            fold if (fold is not None and init_from_multiple_models) else None
+        )
+        if fold is None:
+            files = [train_file]
+            out_dir = output_dir
+        else:
+            files = [f"{train_file}.{j}" for j in range(NUM_FOLD) if j != fold]
+            out_dir = f"{output_dir}-{fold}"
+            logger.info("Training Fold #%d on %s", fold, files)
+        dataset = ConvSearchDataset(
+            files,
+            tokenizer,
+            mode="train",
+            query_mode=query_mode,
+            model_type=model_type,
+            max_concat_length=config.max_concat_length,
+            max_query_length=config.max_query_length,
+            ranking_task=config.ranking_task,
+        )
+        params, global_step, avg_loss = train_one_model(
+            dataset,
+            student_apply,
+            student_params,
+            teacher_apply,
+            teacher_params,
+            config,
+            tokenizer=tokenizer,
+            output_dir=out_dir,
+            mesh=mesh,
+            metrics=metrics,
+            fold_id=fold_id,
+            n_devices=n_devices,
+        )
+        logger.info("fold %s: global_step=%d avg_loss=%.5f", fold_id,
+                    global_step, avg_loss)
+        os.makedirs(out_dir, exist_ok=True)
+        if save_fn is not None:
+            save_fn(params, out_dir, tokenizer)
+        else:
+            save_checkpoint(
+                os.path.join(out_dir, "final"),
+                params,
+                metadata={"model_type": model_type, "global_step": global_step},
+            )
+        outputs.append(out_dir)
+    metrics.close()
+    return outputs

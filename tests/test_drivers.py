@@ -1,0 +1,179 @@
+"""CLI driver smoke tests: the four drivers chained on a tiny corpus,
+mirroring the reference's README pipeline (tokenize -> train -> embed ->
+inference) end to end through the argparse surfaces."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from convdr_tpu.drivers import (
+    gen_passage_embeddings,
+    run_convdr_inference,
+    run_convdr_train,
+    tokenize_collection,
+)
+
+TOPICS = ["cats", "dogs", "fish", "birds"]
+N_PASSAGES = 24
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    work = tmp_path_factory.mktemp("drivers")
+    raw = work / "raw"
+    os.makedirs(raw)
+    with open(raw / "collection.tsv", "w") as f:
+        for pid in range(N_PASSAGES):
+            f.write(f"{pid}\tall about {TOPICS[pid % 4]} number {pid}\n")
+    with open(raw / "queries.raw.tsv", "w") as f:
+        for t, topic in enumerate(TOPICS):
+            f.write(f"{t + 1}_1\ttell me about {topic}\n")
+    with open(raw / "eval_topics.jsonl", "w") as f:
+        for t, topic in enumerate(TOPICS):
+            f.write(json.dumps({
+                "topic_number": t + 1,
+                "query_number": 1,
+                "input": [f"tell me about {topic}"],
+                "target": f"tell me about {topic}",
+            }) + "\n")
+    with open(raw / "qrels.tsv", "w") as f:
+        for t in range(4):
+            for pid in range(N_PASSAGES):
+                if pid % 4 == t:
+                    f.write(f"{t + 1}_1\t0\t{pid}\t1\n")
+    return work
+
+
+def test_01_tokenize_driver(workdir):
+    count = tokenize_collection.main([
+        "--collection", str(workdir / "raw" / "collection.tsv"),
+        "--out_data_dir", str(workdir / "processed"),
+        "--model_type", "rdot_nll",
+        "--max_seq_length", "32",
+        "--num_workers", "2",
+    ])
+    assert count == N_PASSAGES
+    assert (workdir / "processed" / "passages").exists()
+    assert (workdir / "processed" / "offset2pid.pickle").exists()
+
+
+def test_02_train_driver(workdir):
+    outputs = run_convdr_train.main([
+        "--output_dir", str(workdir / "model"),
+        "--model_name_or_path", "init",
+        "--train_file", str(workdir / "raw" / "eval_topics.jsonl"),
+        "--model_type", "rdot_nll",
+        "--max_steps", "3",
+        "--per_gpu_train_batch_size", "2",
+        "--max_concat_length", "48",
+        "--max_query_length", "48",
+        "--learning_rate", "1e-3",
+        "--arch_size", "tiny",
+        "--no_mesh",
+    ])
+    assert outputs == [str(workdir / "model")]
+    assert (workdir / "model" / "final").exists()
+    assert (workdir / "model" / "metrics.jsonl").exists()
+    # metrics jsonl has loss scalars per step
+    lines = open(workdir / "model" / "metrics.jsonl").read().strip().split("\n")
+    rec = json.loads(lines[0])
+    assert "loss" in rec and "mse_loss" in rec
+
+
+def test_03_embed_driver(workdir):
+    rows = gen_passage_embeddings.main([
+        "--data_dir", str(workdir / "processed"),
+        "--checkpoint", str(workdir / "model"),
+        "--model_type", "rdot_nll",
+        "--output_dir", str(workdir / "embeddings"),
+        "--cache_dir", str(workdir / "cache"),
+        "--per_gpu_eval_batch_size", "8",
+        "--num_blocks", "2",
+        "--dtype", "float32",
+        "--arch_size", "tiny",
+        "--no_mesh",
+    ])
+    assert rows == N_PASSAGES
+    assert (workdir / "embeddings" / "passage__emb_p__data_obj_0.pb").exists()
+    assert (workdir / "embeddings" / "passage__embid_p__data_obj_1.pb").exists()
+
+
+def test_04_inference_driver(workdir):
+    metrics = run_convdr_inference.main([
+        "--model_path", str(workdir / "model"),
+        "--eval_file", str(workdir / "raw" / "eval_topics.jsonl"),
+        "--model_type", "rdot_nll",
+        "--ann_data_dir", str(workdir / "embeddings"),
+        "--processed_data_dir", str(workdir / "processed"),
+        "--raw_data_dir", str(workdir / "raw"),
+        "--qrels", str(workdir / "raw" / "qrels.tsv"),
+        "--output_trec_file", str(workdir / "run.trec"),
+        "--output_file", str(workdir / "run.jsonl"),
+        "--output_query_type", "raw",
+        "--top_n", "10",
+        "--max_concat_length", "48",
+        "--arch_size", "tiny",
+        "--no_mesh",
+    ])
+    assert "ndcg_cut_3" in metrics and "mrr" in metrics
+    trec_lines = open(workdir / "run.trec").read().strip().split("\n")
+    assert len(trec_lines) == 4 * 10
+    parts = trec_lines[0].split()
+    assert parts[1] == "Q0" and parts[5] == "ance"
+    om = [json.loads(l) for l in open(workdir / "run.jsonl")]
+    assert all("label" in r and "retrieval_score" in r for r in om)
+
+
+def test_05_cross_validation_drivers(workdir):
+    """5-fold CV surface: fold files, per-fold models, fold inference."""
+    raw = workdir / "raw"
+    from convdr_tpu.core.config import NUM_FOLD
+
+    for fold in range(NUM_FOLD):
+        with open(raw / f"eval_topics.jsonl.{fold}", "w") as f:
+            t = fold % 4
+            f.write(json.dumps({
+                "topic_number": 10 + fold,
+                "query_number": 1,
+                "input": [f"tell me about {TOPICS[t]}"],
+                "target": f"tell me about {TOPICS[t]}",
+            }) + "\n")
+        with open(raw / "queries.raw.tsv", "a") as f:
+            f.write(f"{10 + fold}_1\ttell me about {TOPICS[t]}\n")
+
+    outputs = run_convdr_train.main([
+        "--output_dir", str(workdir / "cv_model"),
+        "--model_name_or_path", "init",
+        "--train_file", str(raw / "eval_topics.jsonl"),
+        "--model_type", "rdot_nll",
+        "--cross_validate",
+        "--max_steps", "1",
+        "--per_gpu_train_batch_size", "2",
+        "--max_concat_length", "48",
+        "--max_query_length", "48",
+        "--arch_size", "tiny",
+        "--no_mesh",
+    ])
+    assert len(outputs) == NUM_FOLD
+    for fold in range(NUM_FOLD):
+        assert (workdir / f"cv_model-{fold}" / "final").exists()
+
+    metrics = run_convdr_inference.main([
+        "--model_path", str(workdir / "cv_model"),
+        "--eval_file", str(raw / "eval_topics.jsonl"),
+        "--model_type", "rdot_nll",
+        "--cross_validate",
+        "--ann_data_dir", str(workdir / "embeddings"),
+        "--processed_data_dir", str(workdir / "processed"),
+        "--raw_data_dir", str(raw),
+        "--qrels", str(raw / "qrels.tsv"),
+        "--output_trec_file", str(workdir / "cv_run.trec"),
+        "--output_query_type", "raw",
+        "--top_n", "5",
+        "--max_concat_length", "48",
+        "--arch_size", "tiny",
+        "--no_mesh",
+    ])
+    assert os.path.exists(workdir / "cv_run.trec")
