@@ -1,0 +1,202 @@
+"""Pallas TPU kernel: fused inner-product scores + group-max epilogue.
+
+The XLA search path (:mod:`convdr_tpu.ops.exact_search`) materializes the
+[Q, B] score block in HBM, then re-reads it to reduce per-group maxima --
+one full extra HBM pass over the (large) score matrix. This kernel fuses the
+reduction into the matmul epilogue: each grid step loads one passage tile
+into VMEM, runs the MXU matmul at f32 precision, writes the score tile once,
+and emits the [Q, T/G] group maxima from registers/VMEM without touching HBM
+again. Downstream candidate selection (group top-k, one-hot gather, final
+exact top-k) stays in XLA where sorts are already tuned.
+
+Layout per grid step i (tile T rows of the passage matrix):
+  q     [Q, D]   VMEM-resident across steps (Q <= ~512, D = 768: ~1.5 MB)
+  p_i   [T, D]   VMEM tile (T = 1024 f32: 3 MB; Pallas double-buffers in/out blocks, so T=2048 f32 overflows the 16 MB VMEM)
+  (compiled path uses G=128: group reduction along the 128-lane axis is
+  the only shape cast Mosaic accepts here; gmax accumulates in a resident
+  VMEM block)
+  s_i   [Q, T]   score tile -> HBM output column block
+  g_i   [Q, T/G] group maxima -> HBM output column block
+
+Exactness: f32 accumulation via ``preferred_element_type`` and HIGHEST
+precision (see exact_search.py for why bf16 default breaks FlatIP parity).
+The in-kernel dot accumulates in a different order than XLA's matmul, so
+individual scores can differ by ~1 ulp from the numpy oracle; measured on
+v5e over 512x100k, the recall@100 SET is identical in all rows with only
+O(1e-5)-gap adjacent-rank swaps.
+
+Measured v5e (512 queries x 100k x 768, top-100): this fused path runs at
+~7.4 ms/search vs ~4.1 ms for the XLA path in exact_search.py -- the fusion
+saves one HBM score pass but the G=128 selection (12.8k-wide payload sort)
+and the small T=512 tile (VMEM double-buffering limits) cost more than the
+saved pass. The XLA path therefore remains the production default; this
+kernel is the building block for streaming variants where scores must not
+be materialized at all.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from convdr_tpu.ops.exact_search import NEG_INF
+
+
+def _score_groupmax_kernel(q_ref, p_ref, s_ref, g_ref, *, group: int):
+    scores = jax.lax.dot_general(
+        q_ref[:],
+        p_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [Q, T]
+    s_ref[:] = scores
+    qn, t = scores.shape
+    # G = 128 groups are lane-native: [Q, T] -> [Q, T/128, 128], reduce the
+    # lane axis (Mosaic rejects sub-lane shape casts like G=16/32). The
+    # per-tile maxima land in a [n_tiles, Q, T/G] output (tile-major) so
+    # each block store is fully aligned; the caller transposes the tiny
+    # result back to [Q, NG].
+    gpt = t // group
+    g_ref[0] = jnp.max(scores.reshape(qn, gpt, group), axis=-1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group", "tile_rows", "interpret")
+)
+def fused_scores_groupmax(
+    queries: jnp.ndarray,
+    passages: jnp.ndarray,
+    *,
+    group: int = 128,
+    tile_rows: int = 512,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(scores [Q, N] f32, group maxima [Q, N/group] f32).
+
+    N must be a multiple of ``tile_rows`` (callers pad rows; padded rows are
+    masked downstream via valid-row logic). ``interpret=True`` runs the
+    kernel in interpreter mode for CPU-based tests.
+    """
+    qn, d = queries.shape
+    n = passages.shape[0]
+    if n % tile_rows:
+        raise ValueError(f"rows {n} not a multiple of tile_rows {tile_rows}")
+    if tile_rows % group:
+        raise ValueError(f"tile_rows {tile_rows} not a multiple of group {group}")
+    n_tiles = n // tile_rows
+    groups_per_tile = tile_rows // group
+    # Mosaic supports only lane-width (128) contiguous group reductions in
+    # this kernel; interpreter mode (CPU tests) has no such constraint.
+    if not interpret and group != 128:
+        raise ValueError("the compiled TPU kernel requires group=128")
+
+    kernel = functools.partial(_score_groupmax_kernel, group=group)
+    scores, gmax = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((qn, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tile_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((qn, tile_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, qn, groups_per_tile),
+                lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((qn, n), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, qn, groups_per_tile), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qn * n * d,
+            bytes_accessed=(
+                qn * d * 4 + n * d * passages.dtype.itemsize + qn * n * 4
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(queries.astype(passages.dtype), passages)
+    # [n_tiles, Q, gpt] -> [Q, n_tiles*gpt]; tiny (Q x NG) so the transpose
+    # is negligible next to the score matrix.
+    gmax = jnp.transpose(gmax, (1, 0, 2)).reshape(qn, n // group)
+    return scores, gmax
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "group", "tile_rows", "interpret")
+)
+def pallas_flat_ip_topk(
+    queries: jnp.ndarray,
+    passages: jnp.ndarray,
+    k: int,
+    *,
+    group: int = 128,
+    tile_rows: int = 512,
+    valid_rows=-1,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact FlatIP top-k with the fused Pallas scoring kernel.
+
+    Same contract as :func:`convdr_tpu.ops.exact_search.flat_ip_topk`
+    (score desc, low index first; -1 padding) for row counts that are a
+    multiple of ``tile_rows``. Candidate selection reuses the stable-top-k
+    machinery in XLA.
+    """
+    qn, d = queries.shape
+    n = passages.shape[0]
+    pad = (-n) % tile_rows
+    fully_valid = isinstance(valid_rows, int) and valid_rows < 0
+    valid = None
+    if not fully_valid:
+        valid = jnp.asarray(valid_rows)
+    if pad:
+        passages = jnp.pad(passages, ((0, pad), (0, 0)))
+        if valid is None:
+            valid = jnp.asarray(n)
+    n_padded = passages.shape[0]
+    scores, gmax = fused_scores_groupmax(
+        queries, passages, group=group, tile_rows=tile_rows, interpret=interpret
+    )
+    n_groups = n_padded // group
+    k_eff = min(k, n)
+
+    k_grp = min(k_eff, n_groups)
+    if valid is not None:
+        group_start = jnp.arange(n_groups, dtype=jnp.int32) * group
+        gmax = jnp.where(group_start[None, :] < valid, gmax, NEG_INF)
+        k_grp = min(k_eff + 1, n_groups)
+    _, gsel = jax.lax.top_k(gmax, k_grp)
+    gsel = jnp.sort(gsel, axis=-1)
+    onehot = jax.nn.one_hot(gsel, n_groups, dtype=jnp.float32)
+    s3 = scores.reshape(qn, n_groups, group)
+    cand = jnp.einsum(
+        "qkn,qng->qkg",
+        onehot,
+        s3,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if valid is not None:
+        cand_idx = gsel[:, :, None] * group + jnp.arange(
+            group, dtype=jnp.int32
+        )[None, None, :]
+        cand = jnp.where(cand_idx < valid, cand, NEG_INF)
+    top_s, sel = jax.lax.top_k(cand.reshape(qn, -1), k_eff)
+    grp_ids = jnp.take_along_axis(gsel, sel // group, axis=1)
+    top_i = grp_ids * group + sel % group
+    if k_eff < k:
+        top_s = jnp.pad(top_s, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
+        top_i = jnp.pad(top_i, ((0, 0), (0, k - k_eff)), constant_values=-1)
+    top_i = jnp.where(top_s == NEG_INF, -1, top_i)
+    return top_s, top_i
