@@ -141,23 +141,28 @@ def tokenize_collection(
         for job in jobs:
             _worker(job)
 
-    # merge splits -> cache + id maps
-    record_size = _PID_BYTES + _LEN_BYTES + config.max_seq_length * 4
-    offset2pid: List[int] = []
-    with TokenCacheWriter(out_base, config.max_seq_length) as writer:
-        for i in range(workers):
-            split = f"{out_base}_split{i}"
-            with open(split, "rb") as f:
-                while True:
-                    rec = f.read(record_size)
-                    if not rec:
-                        break
-                    pid = int.from_bytes(rec[:_PID_BYTES], "big")
-                    writer.write_raw(rec[_PID_BYTES:])
-                    offset2pid.append(pid)
-            os.remove(split)
-    save_id_maps(out_data_dir, offset2pid)
-    return len(offset2pid)
+    # merge splits -> cache + id maps (C++ fast path, python fallback)
+    import json
+
+    from convdr_tpu.native_io import merge_token_splits
+
+    splits = [f"{out_base}_split{i}" for i in range(workers)]
+    record_bytes = _LEN_BYTES + config.max_seq_length * 4
+    max_records = sum(
+        os.path.getsize(s) // (_PID_BYTES + record_bytes) for s in splits
+    )
+    pids = merge_token_splits(splits, out_base, record_bytes, max_records)
+    for split in splits:
+        os.remove(split)
+    meta = {
+        "type": "int32",
+        "total_number": int(len(pids)),
+        "embedding_size": config.max_seq_length,
+    }
+    with open(out_base + "_meta", "w") as f:
+        json.dump(meta, f)
+    save_id_maps(out_data_dir, [int(p) for p in pids])
+    return len(pids)
 
 
 def tokenize_queries_file(

@@ -1,0 +1,250 @@
+"""ctypes bindings for the C++ host runtime (native/convdr_native.cpp).
+
+The shared library is built on demand with the repo Makefile (g++ is part of
+the toolchain; pybind11 is not available, hence the C ABI + ctypes). Every
+entry point has a pure-Python/numpy fallback so the framework degrades
+gracefully on hosts without a compiler; ``native_available()`` reports which
+path is active.
+
+Native block files (``.cnb``) hold a 32-byte header, contiguous f32 rows,
+and int64 ids -- loaded straight into numpy buffers with multithreaded
+reads, replacing pickle on the serving path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libconvdr_native.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-s"], cwd=_NATIVE_DIR, check=True, capture_output=True
+        )
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        logger.warning("native build failed: %s", e)
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH):
+        if not os.path.exists(os.path.join(_NATIVE_DIR, "convdr_native.cpp")):
+            return None
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError as e:
+        logger.warning("cannot load %s: %s", _LIB_PATH, e)
+        return None
+
+    lib.convdr_write_block.restype = ctypes.c_int
+    lib.convdr_write_block.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.c_int64,
+    ]
+    lib.convdr_read_block_header.restype = ctypes.c_int
+    lib.convdr_read_block_header.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.convdr_read_block.restype = ctypes.c_int
+    lib.convdr_read_block.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int,
+    ]
+    lib.convdr_merge_splits.restype = ctypes.c_int64
+    lib.convdr_merge_splits.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int,
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+    ]
+    lib.convdr_merge_topk.restype = None
+    lib.convdr_merge_topk.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    _lib = lib
+    return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def _fp(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _ip(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+# ---------------------------------------------------------------------------
+# Block store
+# ---------------------------------------------------------------------------
+_HEADER_BYTES = 32
+_MAGIC = 0x434E5642304B4C42
+
+
+def write_native_block(path: str, emb: np.ndarray, ids: np.ndarray) -> None:
+    emb = np.ascontiguousarray(emb, np.float32)
+    ids = np.ascontiguousarray(ids, np.int64)
+    rows, dim = emb.shape
+    lib = _load()
+    if lib is not None:
+        rc = lib.convdr_write_block(
+            path.encode(), _fp(emb), _ip(ids), rows, dim
+        )
+        if rc != 0:
+            raise IOError(f"convdr_write_block({path}) failed: rc={rc}")
+        return
+    with open(path, "wb") as f:  # python fallback, same byte layout
+        f.write(
+            np.asarray([_MAGIC, rows, dim, 0], np.uint64).tobytes()
+        )
+        f.write(emb.tobytes())
+        f.write(ids.tobytes())
+
+
+def read_native_block(
+    path: str, num_threads: int = 8
+) -> Tuple[np.ndarray, np.ndarray]:
+    lib = _load()
+    if lib is not None:
+        rows = ctypes.c_int64()
+        dim = ctypes.c_int64()
+        rc = lib.convdr_read_block_header(
+            path.encode(), ctypes.byref(rows), ctypes.byref(dim)
+        )
+        if rc != 0:
+            raise IOError(f"convdr_read_block_header({path}) failed: rc={rc}")
+        emb = np.empty((rows.value, dim.value), np.float32)
+        ids = np.empty(rows.value, np.int64)
+        rc = lib.convdr_read_block(
+            path.encode(), _fp(emb), _ip(ids), rows.value, dim.value,
+            num_threads,
+        )
+        if rc != 0:
+            raise IOError(f"convdr_read_block({path}) failed: rc={rc}")
+        return emb, ids
+    with open(path, "rb") as f:  # python fallback
+        header = np.frombuffer(f.read(_HEADER_BYTES), np.uint64)
+        if header[0] != _MAGIC:
+            raise IOError(f"{path} is not a convdr native block")
+        rows, dim = int(header[1]), int(header[2])
+        emb = np.frombuffer(f.read(rows * dim * 4), np.float32).reshape(
+            rows, dim
+        )
+        ids = np.frombuffer(f.read(rows * 8), np.int64)
+        return emb.copy(), ids.copy()
+
+
+# ---------------------------------------------------------------------------
+# Token-cache split merge
+# ---------------------------------------------------------------------------
+def merge_token_splits(
+    split_paths: List[str],
+    out_path: str,
+    record_bytes: int,
+    max_records: int,
+) -> np.ndarray:
+    """Merge worker split files into the cache body; returns pid array."""
+    lib = _load()
+    if lib is not None:
+        pids = np.zeros(max_records, np.int64)
+        arr = (ctypes.c_char_p * len(split_paths))(
+            *[p.encode() for p in split_paths]
+        )
+        count = lib.convdr_merge_splits(
+            arr, len(split_paths), out_path.encode(), record_bytes,
+            _ip(pids), max_records,
+        )
+        if count < 0:
+            raise IOError(f"convdr_merge_splits failed: rc={count}")
+        return pids[:count]
+    # python fallback
+    pids_list: List[int] = []
+    full = 8 + record_bytes
+    with open(out_path, "wb") as out:
+        for split in split_paths:
+            with open(split, "rb") as f:
+                while True:
+                    rec = f.read(full)
+                    if not rec:
+                        break
+                    if len(rec) != full:
+                        raise IOError(f"truncated record in {split}")
+                    pids_list.append(int.from_bytes(rec[:8], "big"))
+                    out.write(rec[8:])
+    return np.asarray(pids_list, np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Host-side exact top-k merge
+# ---------------------------------------------------------------------------
+def merge_topk_host(
+    s_a: np.ndarray, i_a: np.ndarray, s_b: np.ndarray, i_b: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """2-pointer merge of sorted-desc [Q, k] candidate lists; A wins ties."""
+    s_a = np.ascontiguousarray(s_a, np.float32)
+    s_b = np.ascontiguousarray(s_b, np.float32)
+    i_a = np.ascontiguousarray(i_a, np.int64)
+    i_b = np.ascontiguousarray(i_b, np.int64)
+    nq, k = s_a.shape
+    out_s = np.empty_like(s_a)
+    out_i = np.empty_like(i_a)
+    lib = _load()
+    if lib is not None:
+        lib.convdr_merge_topk(
+            _fp(s_a), _ip(i_a), _fp(s_b), _ip(i_b), nq, k, _fp(out_s),
+            _ip(out_i),
+        )
+        return out_s, out_i
+    for q in range(nq):  # python fallback
+        p1 = p2 = 0
+        for o in range(k):
+            if p2 >= k or (p1 < k and s_a[q, p1] >= s_b[q, p2]):
+                out_s[q, o], out_i[q, o] = s_a[q, p1], i_a[q, p1]
+                p1 += 1
+            else:
+                out_s[q, o], out_i[q, o] = s_b[q, p2], i_b[q, p2]
+                p2 += 1
+    return out_s, out_i

@@ -1,0 +1,191 @@
+// convdr_native: host-side native runtime for the ConvDR-TPU framework.
+//
+// The reference consumed its native functionality through FAISS and NCCL
+// binaries; the TPU compute path here is JAX/Pallas, and this library covers
+// the host runtime around it (SURVEY.md §2.3 #4):
+//
+//   * raw embedding-block store: header + contiguous f32 rows + int64 ids,
+//     written/read with large buffered IO and multithreaded pread -- replaces
+//     pickled block files on the hot serving path (pickle copies through
+//     Python objects; this streams straight into caller-provided buffers);
+//   * token-cache split merge: streams worker split files, strips the 8-byte
+//     big-endian pid prefix (reference record layout, data/tokenizing.py:116),
+//     concatenates records, and returns the pid order for the offset maps;
+//   * exact 2-pointer top-k merge of sorted-desc candidate lists (the
+//     reference's Python merge, drivers/run_convdr_inference.py:210-229) for
+//     host-side run merging.
+//
+// C ABI only; consumed from Python via ctypes (no pybind11 in this image).
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+extern "C" {
+
+static const uint64_t kMagic = 0x434E5642304B4C42ULL;  // "CNVB0KLB"
+
+struct BlockHeader {
+  uint64_t magic;
+  int64_t rows;
+  int64_t dim;
+  int64_t reserved;
+};
+
+// ---------------------------------------------------------------------------
+// Embedding block store
+// ---------------------------------------------------------------------------
+int convdr_write_block(const char* path, const float* emb, const int64_t* ids,
+                       int64_t rows, int64_t dim) {
+  FILE* f = std::fopen(path, "wb");
+  if (!f) return 1;
+  BlockHeader hdr{kMagic, rows, dim, 0};
+  if (std::fwrite(&hdr, sizeof(hdr), 1, f) != 1) { std::fclose(f); return 2; }
+  const size_t emb_count = static_cast<size_t>(rows) * dim;
+  if (emb_count && std::fwrite(emb, sizeof(float), emb_count, f) != emb_count) {
+    std::fclose(f);
+    return 3;
+  }
+  const size_t id_count = static_cast<size_t>(rows);
+  if (id_count && std::fwrite(ids, sizeof(int64_t), id_count, f) != id_count) {
+    std::fclose(f);
+    return 4;
+  }
+  return std::fclose(f) == 0 ? 0 : 5;
+}
+
+int convdr_read_block_header(const char* path, int64_t* rows, int64_t* dim) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return 1;
+  BlockHeader hdr;
+  if (std::fread(&hdr, sizeof(hdr), 1, f) != 1 || hdr.magic != kMagic) {
+    std::fclose(f);
+    return 2;
+  }
+  *rows = hdr.rows;
+  *dim = hdr.dim;
+  std::fclose(f);
+  return 0;
+}
+
+// Multithreaded read of the embedding matrix + ids into caller buffers.
+int convdr_read_block(const char* path, float* emb_out, int64_t* ids_out,
+                      int64_t rows, int64_t dim, int num_threads) {
+  FILE* probe = std::fopen(path, "rb");
+  if (!probe) return 1;
+  BlockHeader hdr;
+  if (std::fread(&hdr, sizeof(hdr), 1, probe) != 1 || hdr.magic != kMagic ||
+      hdr.rows != rows || hdr.dim != dim) {
+    std::fclose(probe);
+    return 2;
+  }
+  std::fclose(probe);
+
+  if (num_threads < 1) num_threads = 1;
+  const int64_t emb_bytes = rows * dim * static_cast<int64_t>(sizeof(float));
+  const int64_t emb_off = sizeof(BlockHeader);
+  std::atomic<int> err{0};
+
+  auto read_range = [&](int64_t byte_start, int64_t byte_len, char* dst) {
+    FILE* f = std::fopen(path, "rb");
+    if (!f) { err.store(1); return; }
+    if (std::fseek(f, static_cast<long>(byte_start), SEEK_SET) != 0) {
+      err.store(2);
+      std::fclose(f);
+      return;
+    }
+    if (byte_len &&
+        std::fread(dst, 1, static_cast<size_t>(byte_len), f) !=
+            static_cast<size_t>(byte_len)) {
+      err.store(3);
+    }
+    std::fclose(f);
+  };
+
+  std::vector<std::thread> workers;
+  const int64_t chunk = (emb_bytes + num_threads - 1) / num_threads;
+  for (int t = 0; t < num_threads; ++t) {
+    const int64_t start = t * chunk;
+    if (start >= emb_bytes) break;
+    const int64_t len = std::min(chunk, emb_bytes - start);
+    workers.emplace_back(read_range, emb_off + start, len,
+                         reinterpret_cast<char*>(emb_out) + start);
+  }
+  for (auto& w : workers) w.join();
+  if (err.load()) return err.load();
+
+  read_range(emb_off + emb_bytes, rows * static_cast<int64_t>(sizeof(int64_t)),
+             reinterpret_cast<char*>(ids_out));
+  return err.load();
+}
+
+// ---------------------------------------------------------------------------
+// Token-cache split merge (reference layout: pid(8B BE) + len(4B BE) + ids)
+// ---------------------------------------------------------------------------
+int64_t convdr_merge_splits(const char** split_paths, int n_splits,
+                            const char* out_path, int64_t record_bytes,
+                            int64_t* pid_out, int64_t pid_capacity) {
+  const int64_t full_record = 8 + record_bytes;
+  FILE* out = std::fopen(out_path, "wb");
+  if (!out) return -1;
+  std::vector<char> buf(static_cast<size_t>(full_record));
+  int64_t count = 0;
+  for (int s = 0; s < n_splits; ++s) {
+    FILE* in = std::fopen(split_paths[s], "rb");
+    if (!in) { std::fclose(out); return -2; }
+    while (true) {
+      const size_t got = std::fread(buf.data(), 1, buf.size(), in);
+      if (got == 0) break;
+      if (got != buf.size()) { std::fclose(in); std::fclose(out); return -3; }
+      if (count >= pid_capacity) { std::fclose(in); std::fclose(out); return -4; }
+      uint64_t pid = 0;
+      for (int b = 0; b < 8; ++b) {
+        pid = (pid << 8) | static_cast<unsigned char>(buf[b]);
+      }
+      pid_out[count] = static_cast<int64_t>(pid);
+      if (std::fwrite(buf.data() + 8, 1, static_cast<size_t>(record_bytes),
+                      out) != static_cast<size_t>(record_bytes)) {
+        std::fclose(in);
+        std::fclose(out);
+        return -5;
+      }
+      ++count;
+    }
+    std::fclose(in);
+  }
+  return std::fclose(out) == 0 ? count : -6;
+}
+
+// ---------------------------------------------------------------------------
+// Exact 2-pointer top-k merge (sorted desc; list A wins ties)
+// ---------------------------------------------------------------------------
+void convdr_merge_topk(const float* sa, const int64_t* ia, const float* sb,
+                       const int64_t* ib, int64_t nq, int64_t k, float* so,
+                       int64_t* io) {
+  for (int64_t q = 0; q < nq; ++q) {
+    const float* ra_s = sa + q * k;
+    const int64_t* ra_i = ia + q * k;
+    const float* rb_s = sb + q * k;
+    const int64_t* rb_i = ib + q * k;
+    float* out_s = so + q * k;
+    int64_t* out_i = io + q * k;
+    int64_t p1 = 0, p2 = 0;
+    for (int64_t o = 0; o < k; ++o) {
+      if (p2 >= k || (p1 < k && ra_s[p1] >= rb_s[p2])) {
+        out_s[o] = ra_s[p1];
+        out_i[o] = ra_i[p1];
+        ++p1;
+      } else {
+        out_s[o] = rb_s[p2];
+        out_i[o] = rb_i[p2];
+        ++p2;
+      }
+    }
+  }
+}
+
+}  // extern "C"
