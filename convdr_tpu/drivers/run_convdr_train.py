@@ -69,6 +69,8 @@ def get_arguments(argv=None):
                         choices=["float32", "bfloat16"])
     parser.add_argument("--export_torch", action="store_true",
                         help="also export final models in the reference HF format")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from the newest checkpoint-N in output_dir")
     parser.add_argument("--arch_size", default="base", choices=["base", "tiny"],
                     help="tiny = miniature architecture for smoke tests")
     parser.add_argument("--no_mesh", action="store_true")
@@ -86,6 +88,7 @@ def main(argv=None):
         os.path.exists(args.output_dir)
         and os.listdir(args.output_dir)
         and not args.overwrite_output_dir
+        and not args.resume
     ):
         raise ValueError(
             f"Output directory ({args.output_dir}) already exists and is not "
@@ -174,6 +177,7 @@ def main(argv=None):
         mesh=mesh,
         n_devices=n_devices,
         save_fn=save_fn,
+        resume=args.resume,
     )
     logger.info("training complete: %s", outputs)
     return outputs

@@ -19,7 +19,12 @@ import numpy as np
 
 from convdr_tpu.core.config import NUM_FOLD, TrainConfig
 from convdr_tpu.data.conv_dataset import ConvSearchDataset
-from convdr_tpu.train.checkpoint import save_checkpoint
+from convdr_tpu.train.checkpoint import (
+    latest_checkpoint,
+    load_metadata,
+    restore_checkpoint,
+    save_checkpoint,
+)
 from convdr_tpu.train.ranking_data import (
     DocumentTokenizerCache,
     sample_ranking_batch,
@@ -60,8 +65,18 @@ def train_one_model(
     metrics: Optional[MetricsLogger] = None,
     fold_id: int = 0,
     n_devices: int = 1,
+    resume: bool = False,
 ):
-    """Run the full epoch/step loop; returns (final_params, global_step, avg_loss)."""
+    """Run the full epoch/step loop; returns (final_params, global_step, avg_loss).
+
+    ``resume=True`` restores the newest ``checkpoint-N`` under ``output_dir``
+    (params + optimizer state + step) and continues until the original
+    ``t_total`` -- a capability the reference lacks entirely (its optimizer
+    state is saved for dpr but never reloaded, SURVEY.md §5.4). Batch order
+    is re-derived from the epoch seed, so a resumed run revisits the epoch
+    from its start but optimizer momentum and the LR schedule continue
+    exactly.
+    """
     batch_size = config.per_device_batch_size * max(1, n_devices)
     steps_per_epoch = max(len(dataset) // batch_size, 1)
     if config.max_steps > 0:
@@ -77,6 +92,14 @@ def train_one_model(
         t_total = max(t_total, 1)
 
     state, tx = create_train_state(student_params, config, t_total)
+    resume_step = 0
+    if resume and output_dir:
+        ckpt = latest_checkpoint(output_dir)
+        if ckpt is not None:
+            state = restore_checkpoint(ckpt, state)
+            meta = load_metadata(ckpt) or {}
+            resume_step = int(meta.get("global_step", int(state.step)))
+            logger.info("resumed from %s at global step %d", ckpt, resume_step)
     step_fn = make_train_step(
         student_apply, teacher_apply, tx, config, mesh=mesh
     )
@@ -126,6 +149,9 @@ def train_one_model(
             if config.max_steps > 0 and global_step >= config.max_steps:
                 done = True
                 break
+            if resume_step and global_step >= t_total:
+                done = True  # resumed run: stop at the original budget
+                break
         if done:
             break
 
@@ -148,6 +174,7 @@ def run_training(
     mesh=None,
     n_devices: int = 1,
     save_fn: Optional[Callable] = None,
+    resume: bool = False,
 ) -> List[str]:
     """Train once or per-fold. ``load_student(fold)`` -> (tokenizer, apply_fn,
     params); ``save_fn(params, out_dir)`` persists the final model. Returns
@@ -190,6 +217,7 @@ def run_training(
             metrics=metrics,
             fold_id=fold_id,
             n_devices=n_devices,
+            resume=resume,
         )
         logger.info("fold %s: global_step=%d avg_loss=%.5f", fold_id,
                     global_step, avg_loss)
