@@ -1,0 +1,217 @@
+// Compact HNSW (Malkov & Yashunin) approximate nearest-neighbor index, L2.
+//
+// Native-parity replacement for the reference's FAISS ``IndexHNSWFlat`` used
+// by ``DenseHNSWFlatIndexer`` (/root/reference/utils/dpr_utils.py:156-221):
+// L2-metric hierarchical small-world graph with efConstruction/efSearch and
+// the store_n (M) degree bound. Inner-product search rides on top via the
+// DPR aux-dimension trick applied by the Python wrapper.
+//
+// Single-threaded build, thread-safe concurrent search (const graph).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <limits>
+#include <queue>
+#include <random>
+#include <unordered_set>
+#include <vector>
+
+namespace {
+
+struct HnswIndex {
+  int64_t dim;
+  int64_t m;        // max degree on upper layers; 2m on layer 0
+  int64_t ef_construction;
+  int64_t ef_search;
+  double level_mult;
+  std::mt19937_64 rng;
+
+  std::vector<float> data;              // [n, dim]
+  std::vector<int> levels;              // per node
+  // neighbors[l][node] -> adjacency (flat, capped)
+  std::vector<std::vector<std::vector<int>>> neighbors;
+  int entry_point = -1;
+  int max_level = -1;
+
+  int64_t size() const { return static_cast<int64_t>(levels.size()); }
+
+  const float* vec(int id) const { return data.data() + id * dim; }
+
+  float dist(const float* a, const float* b) const {
+    float acc = 0.f;
+    for (int64_t i = 0; i < dim; ++i) {
+      const float d = a[i] - b[i];
+      acc += d * d;
+    }
+    return acc;
+  }
+
+  // Greedy descent on one layer toward q from start.
+  int greedy(const float* q, int start, int layer) const {
+    int cur = start;
+    float cur_d = dist(q, vec(cur));
+    bool improved = true;
+    while (improved) {
+      improved = false;
+      for (int nb : neighbors[layer][cur]) {
+        const float d = dist(q, vec(nb));
+        if (d < cur_d) {
+          cur_d = d;
+          cur = nb;
+          improved = true;
+        }
+      }
+    }
+    return cur;
+  }
+
+  // Beam search on a layer; returns up to ef closest (dist, id) pairs.
+  std::vector<std::pair<float, int>> search_layer(
+      const float* q, int start, int layer, int64_t ef) const {
+    using Pair = std::pair<float, int>;
+    std::priority_queue<Pair> results;                         // max-heap
+    std::priority_queue<Pair, std::vector<Pair>, std::greater<Pair>> cands;
+    std::unordered_set<int> visited;
+    const float d0 = dist(q, vec(start));
+    results.emplace(d0, start);
+    cands.emplace(d0, start);
+    visited.insert(start);
+    while (!cands.empty()) {
+      auto [cd, c] = cands.top();
+      if (cd > results.top().first && (int64_t)results.size() >= ef) break;
+      cands.pop();
+      for (int nb : neighbors[layer][c]) {
+        if (!visited.insert(nb).second) continue;
+        const float d = dist(q, vec(nb));
+        if ((int64_t)results.size() < ef || d < results.top().first) {
+          cands.emplace(d, nb);
+          results.emplace(d, nb);
+          if ((int64_t)results.size() > ef) results.pop();
+        }
+      }
+    }
+    std::vector<Pair> out;
+    out.reserve(results.size());
+    while (!results.empty()) {
+      out.push_back(results.top());
+      results.pop();
+    }
+    std::sort(out.begin(), out.end());  // ascending distance
+    return out;
+  }
+
+  // Heuristic neighbor selection: keep closest, cap at max_degree.
+  static void shrink(std::vector<int>& adj, const HnswIndex& idx, int node,
+                     int64_t max_degree) {
+    if ((int64_t)adj.size() <= max_degree) return;
+    std::vector<std::pair<float, int>> scored;
+    scored.reserve(adj.size());
+    for (int nb : adj) scored.emplace_back(idx.dist(idx.vec(node), idx.vec(nb)), nb);
+    std::partial_sort(scored.begin(), scored.begin() + max_degree, scored.end());
+    adj.clear();
+    for (int64_t i = 0; i < max_degree; ++i) adj.push_back(scored[i].second);
+  }
+
+  void add(const float* v) {
+    const int id = static_cast<int>(size());
+    data.insert(data.end(), v, v + dim);
+    std::uniform_real_distribution<double> unif(0.0, 1.0);
+    const int level = static_cast<int>(-std::log(std::max(unif(rng), 1e-12)) *
+                                       level_mult);
+    levels.push_back(level);
+    while ((int)neighbors.size() <= level) neighbors.emplace_back();
+    for (int l = 0; l <= level; ++l) {
+      neighbors[l].resize(size());
+    }
+    for (auto& layer : neighbors) layer.resize(size());
+
+    if (entry_point < 0) {
+      entry_point = id;
+      max_level = level;
+      return;
+    }
+    int cur = entry_point;
+    for (int l = max_level; l > level; --l) cur = greedy(v, cur, l);
+    for (int l = std::min(level, max_level); l >= 0; --l) {
+      auto cands = search_layer(v, cur, l, ef_construction);
+      const int64_t max_degree = (l == 0) ? 2 * m : m;
+      std::vector<int>& adj = neighbors[l][id];
+      for (auto& [d, nb] : cands) {
+        if ((int64_t)adj.size() >= max_degree) break;
+        adj.push_back(nb);
+        neighbors[l][nb].push_back(id);
+        shrink(neighbors[l][nb], *this, nb, max_degree);
+      }
+      if (!cands.empty()) cur = cands.front().second;
+    }
+    if (level > max_level) {
+      max_level = level;
+      entry_point = id;
+    }
+  }
+
+  void search(const float* q, int64_t k, float* dists, int64_t* ids) const {
+    if (entry_point < 0) {
+      for (int64_t i = 0; i < k; ++i) {
+        dists[i] = std::numeric_limits<float>::infinity();
+        ids[i] = -1;
+      }
+      return;
+    }
+    int cur = entry_point;
+    for (int l = max_level; l > 0; --l) cur = greedy(q, cur, l);
+    auto found = search_layer(q, cur, 0, std::max<int64_t>(ef_search, k));
+    for (int64_t i = 0; i < k; ++i) {
+      if (i < (int64_t)found.size()) {
+        dists[i] = found[i].first;
+        ids[i] = found[i].second;
+      } else {
+        dists[i] = std::numeric_limits<float>::infinity();
+        ids[i] = -1;
+      }
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* convdr_hnsw_create(int64_t dim, int64_t m, int64_t ef_construction,
+                         int64_t ef_search, uint64_t seed) {
+  auto* idx = new HnswIndex();
+  idx->dim = dim;
+  idx->m = std::max<int64_t>(m, 2);
+  idx->ef_construction = std::max<int64_t>(ef_construction, idx->m);
+  idx->ef_search = std::max<int64_t>(ef_search, 1);
+  idx->level_mult = 1.0 / std::log(static_cast<double>(idx->m));
+  idx->rng.seed(seed);
+  return idx;
+}
+
+void convdr_hnsw_free(void* handle) { delete static_cast<HnswIndex*>(handle); }
+
+void convdr_hnsw_add(void* handle, const float* vecs, int64_t n) {
+  auto* idx = static_cast<HnswIndex*>(handle);
+  for (int64_t i = 0; i < n; ++i) idx->add(vecs + i * idx->dim);
+}
+
+int64_t convdr_hnsw_size(void* handle) {
+  return static_cast<HnswIndex*>(handle)->size();
+}
+
+void convdr_hnsw_set_ef_search(void* handle, int64_t ef_search) {
+  static_cast<HnswIndex*>(handle)->ef_search = std::max<int64_t>(ef_search, 1);
+}
+
+void convdr_hnsw_search(void* handle, const float* queries, int64_t nq,
+                        int64_t k, float* dists, int64_t* ids) {
+  auto* idx = static_cast<HnswIndex*>(handle);
+  for (int64_t q = 0; q < nq; ++q) {
+    idx->search(queries + q * idx->dim, k, dists + q * k, ids + q * k);
+  }
+}
+
+}  // extern "C"

@@ -1,0 +1,71 @@
+"""C++ HNSW index + DPR IP->L2 indexer wrapper."""
+
+import numpy as np
+import pytest
+
+from convdr_tpu.native_io import native_available
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="native library unavailable"
+)
+
+
+def test_hnsw_l2_recall(rng):
+    from convdr_tpu.retrieval.hnsw import HnswIndex
+
+    n, d, k = 2000, 16, 10
+    data = rng.randn(n, d).astype(np.float32)
+    idx = HnswIndex(d, m=16, ef_construction=100, ef_search=100)
+    idx.add(data)
+    assert len(idx) == n
+
+    queries = rng.randn(20, d).astype(np.float32)
+    dists, ids = idx.search(queries, k)
+    # exact L2 top-k
+    full = ((queries[:, None, :] - data[None, :, :]) ** 2).sum(-1)
+    exact = np.argsort(full, axis=1)[:, :k]
+    recall = np.mean(
+        [len(set(ids[i]) & set(exact[i])) / k for i in range(len(queries))]
+    )
+    assert recall > 0.9, recall
+    # distances ascending
+    assert np.all(np.diff(dists, axis=1) >= 0)
+
+
+def test_hnsw_empty_index(rng):
+    from convdr_tpu.retrieval.hnsw import HnswIndex
+
+    idx = HnswIndex(8)
+    dists, ids = idx.search(rng.randn(2, 8).astype(np.float32), 3)
+    assert np.all(ids == -1)
+
+
+def test_dense_hnsw_flat_indexer_ip_semantics(rng):
+    """IP->L2 aux-dim conversion: returned docs ~= exact max-inner-product."""
+    from convdr_tpu.retrieval.hnsw import DenseHNSWFlatIndexer
+
+    n, d, k = 1500, 16, 5
+    vectors = rng.randn(n, d).astype(np.float32)
+    data = [(f"doc{i}", vectors[i]) for i in range(n)]
+    indexer = DenseHNSWFlatIndexer(d, store_n=32, ef_search=128,
+                                   ef_construction=100)
+    indexer.index_data(data)
+
+    queries = rng.randn(10, d).astype(np.float32)
+    results = indexer.search_knn(queries, k)
+    exact = np.argsort(-(queries @ vectors.T), axis=1)[:, :k]
+    hit = 0
+    for qi, (db_ids, _scores) in enumerate(results):
+        got = {int(x[3:]) for x in db_ids if x is not None}
+        hit += len(got & set(exact[qi])) / k
+    assert hit / len(queries) > 0.85
+
+
+def test_dense_hnsw_rejects_second_index_data(rng):
+    from convdr_tpu.retrieval.hnsw import DenseHNSWFlatIndexer
+
+    indexer = DenseHNSWFlatIndexer(8, ef_construction=50)
+    data = [(i, rng.randn(8).astype(np.float32)) for i in range(50)]
+    indexer.index_data(data)
+    with pytest.raises(RuntimeError):
+        indexer.index_data(data)
