@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from convdr_tpu.core.config import EncoderArchConfig
+from convdr_tpu.models.attention import multi_head_attention, naive_attention
 
 
 class MultiHeadAttention(nn.Module):
@@ -34,7 +35,7 @@ class MultiHeadAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden, bias, deterministic: bool = True):
+    def __call__(self, hidden, attention_mask, bias, deterministic: bool = True):
         cfg = self.cfg
         head_dim = cfg.hidden_size // cfg.num_heads
         dense = lambda name: nn.DenseGeneral(  # noqa: E731
@@ -46,19 +47,30 @@ class MultiHeadAttention(nn.Module):
         q = dense("query")(hidden)
         k = dense("key")(hidden)
         v = dense("value")(hidden)
-        scale = 1.0 / jnp.sqrt(head_dim).astype(self.dtype)
-        # [B, H, Tq, Tk] scores with fp32 accumulation on the MXU.
-        scores = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
-        )
-        scores = scores * scale.astype(jnp.float32) + bias
-        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
-        probs = nn.Dropout(rate=cfg.attention_dropout)(
-            probs, deterministic=deterministic
-        )
-        ctx = jnp.einsum(
-            "bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32
-        ).astype(self.dtype)
+        # Flash attention has no dropout hook: use it only when attention
+        # dropout is inactive (inference, or deterministic training).
+        use_dropout = not deterministic and cfg.attention_dropout > 0.0
+        if not use_dropout:
+            ctx = multi_head_attention(
+                q, k, v, attention_mask, bias, self.dtype
+            )
+        else:
+            # reference semantics: dropout on the attention probabilities
+            head_dim = cfg.hidden_size // cfg.num_heads
+            scale = 1.0 / jnp.sqrt(head_dim).astype(jnp.float32)
+            scores = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+            )
+            probs = jax.nn.softmax(scores * scale + bias, axis=-1).astype(
+                self.dtype
+            )
+            probs = nn.Dropout(rate=cfg.attention_dropout)(
+                probs, deterministic=False
+            )
+            ctx = jnp.einsum(
+                "bhqk,bkhd->bqhd", probs, v,
+                preferred_element_type=jnp.float32,
+            ).astype(self.dtype)
         out = nn.DenseGeneral(
             features=cfg.hidden_size,
             axis=(-2, -1),
@@ -73,10 +85,10 @@ class EncoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden, bias, deterministic: bool = True):
+    def __call__(self, hidden, attention_mask, bias, deterministic: bool = True):
         cfg = self.cfg
         attn_out = MultiHeadAttention(cfg, self.dtype, name="attention")(
-            hidden, bias, deterministic
+            hidden, attention_mask, bias, deterministic
         )
         attn_out = nn.Dropout(rate=cfg.hidden_dropout)(
             attn_out, deterministic=deterministic
@@ -161,6 +173,6 @@ class TransformerEncoder(nn.Module):
 
         for i in range(cfg.num_layers):
             hidden = EncoderLayer(cfg, self.dtype, name=f"layer_{i}")(
-                hidden, bias, deterministic
+                hidden, attention_mask, bias, deterministic
             )
         return hidden
