@@ -138,7 +138,9 @@ def load_model_and_params(
             roberta=config.tokenizer_kind == "roberta",
         )
         config = dataclasses.replace(
-            config, embedding_dim=min(config.embedding_dim, 32)
+            config,
+            embedding_dim=min(config.embedding_dim, 32),
+            chunk_len=min(config.chunk_len, 32),
         )
     updates = dict(arch_overrides or {})
     vocab_needed = len(tokenizer)

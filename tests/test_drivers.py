@@ -177,3 +177,104 @@ def test_05_cross_validation_drivers(workdir):
         "--no_mesh",
     ])
     assert os.path.exists(workdir / "cv_run.trec")
+
+
+def test_06_dpr_pipeline(workdir):
+    """model_type=dpr (two BERT towers, WordPiece) through all four drivers."""
+    out = workdir / "dpr"
+    tokenize_collection.main([
+        "--collection", str(workdir / "raw" / "collection.tsv"),
+        "--out_data_dir", str(out / "processed"),
+        "--model_type", "dpr",
+        "--max_seq_length", "32",
+        "--num_workers", "1",
+    ])
+    run_convdr_train.main([
+        "--output_dir", str(out / "model"),
+        "--model_name_or_path", "init",
+        "--train_file", str(workdir / "raw" / "eval_topics.jsonl"),
+        "--model_type", "dpr",
+        "--max_steps", "1",
+        "--per_gpu_train_batch_size", "2",
+        "--max_concat_length", "48",
+        "--max_query_length", "48",
+        "--arch_size", "tiny",
+        "--no_mesh",
+    ])
+    rows = gen_passage_embeddings.main([
+        "--data_dir", str(out / "processed"),
+        "--checkpoint", str(out / "model"),
+        "--model_type", "dpr",
+        "--output_dir", str(out / "embeddings"),
+        "--cache_dir", str(out / "cache"),
+        "--per_gpu_eval_batch_size", "8",
+        "--dtype", "float32",
+        "--arch_size", "tiny",
+        "--no_mesh",
+    ])
+    assert rows == N_PASSAGES
+    metrics = run_convdr_inference.main([
+        "--model_path", str(out / "model"),
+        "--eval_file", str(workdir / "raw" / "eval_topics.jsonl"),
+        "--model_type", "dpr",
+        "--ann_data_dir", str(out / "embeddings"),
+        "--processed_data_dir", str(out / "processed"),
+        "--raw_data_dir", str(workdir / "raw"),
+        "--qrels", str(workdir / "raw" / "qrels.tsv"),
+        "--output_trec_file", str(out / "run.trec"),
+        "--output_query_type", "raw",
+        "--top_n", "5",
+        "--max_concat_length", "48",
+        "--arch_size", "tiny",
+        "--no_mesh",
+    ])
+    assert "mrr" in metrics
+
+
+def test_07_multi_chunk_pipeline(workdir):
+    """rdot_nll_multi_chunk: chunked body_emb rows share the cache offset
+    and the run writer dedups to unique pids."""
+    out = workdir / "mc"
+    # cache with full_length 64 = 2 chunks of 32 (tiny chunk_len)
+    tokenize_collection.main([
+        "--collection", str(workdir / "raw" / "collection.tsv"),
+        "--out_data_dir", str(out / "processed"),
+        "--model_type", "rdot_nll_multi_chunk",
+        "--max_seq_length", "64",
+        "--num_workers", "1",
+    ])
+    rows = gen_passage_embeddings.main([
+        "--data_dir", str(out / "processed"),
+        "--checkpoint", "init",
+        "--model_type", "rdot_nll_multi_chunk",
+        "--output_dir", str(out / "embeddings"),
+        "--cache_dir", str(out / "cache"),
+        "--per_gpu_eval_batch_size", "8",
+        "--dtype", "float32",
+        "--arch_size", "tiny",
+        "--no_mesh",
+    ])
+    assert rows == N_PASSAGES * 2  # one row per chunk
+    metrics = run_convdr_inference.main([
+        "--model_path", "init",
+        "--eval_file", str(workdir / "raw" / "eval_topics.jsonl"),
+        "--model_type", "rdot_nll_multi_chunk",
+        "--ann_data_dir", str(out / "embeddings"),
+        "--processed_data_dir", str(out / "processed"),
+        "--raw_data_dir", str(workdir / "raw"),
+        "--qrels", str(workdir / "raw" / "qrels.tsv"),
+        "--output_trec_file", str(out / "run.trec"),
+        "--output_query_type", "raw",
+        "--top_n", "5",
+        "--max_concat_length", "48",
+        "--arch_size", "tiny",
+        "--no_mesh",
+    ])
+    # dedup: each query's results are unique pids
+    lines = open(out / "run.trec").read().strip().split("\n")
+    by_q = {}
+    for line in lines:
+        qid, _, pid, *_ = line.split()
+        by_q.setdefault(qid, []).append(pid)
+    for qid, pids in by_q.items():
+        assert len(pids) == len(set(pids))
