@@ -116,6 +116,10 @@ class TrainConfig:
     seed: int = 42
     log_steps: int = 1
     save_steps: int = -1
+    # Reference parity: torch model.train() keeps dropout active during KD
+    # (run_convdr_train.py:107); off by default here (deterministic KD is
+    # usually at least as good and keeps the step fully reproducible).
+    use_dropout: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -178,10 +178,19 @@ def load_model_and_params(
 
 
 def make_apply_fn(model):
-    """(params, ids, mask, is_query) -> embeddings, for trainer/pipelines."""
+    """(params, ids, mask, is_query[, rngs]) -> embeddings.
 
-    def apply_fn(params, ids, mask, is_query):
+    Passing ``rngs={"dropout": key}`` switches the encoder to stochastic
+    mode (training-time dropout, reference parity); without it the pass is
+    deterministic.
+    """
+
+    def apply_fn(params, ids, mask, is_query, rngs=None):
         method = model.query_emb if is_query else model.body_emb
+        if rngs is not None:
+            return model.apply(
+                params, ids, mask, False, method=method, rngs=rngs
+            )
         return model.apply(params, ids, mask, method=method)
 
     return apply_fn

@@ -71,6 +71,9 @@ def get_arguments(argv=None):
                         help="also export final models in the reference HF format")
     parser.add_argument("--resume", action="store_true",
                         help="resume from the newest checkpoint-N in output_dir")
+    parser.add_argument("--use_dropout", action="store_true",
+                        help="train with dropout active (reference parity; "
+                        "default is deterministic)")
     parser.add_argument("--arch_size", default="base", choices=["base", "tiny"],
                     help="tiny = miniature architecture for smoke tests")
     parser.add_argument("--no_mesh", action="store_true")
@@ -115,6 +118,7 @@ def main(argv=None):
         seed=args.seed,
         log_steps=args.log_steps,
         save_steps=args.save_steps,
+        use_dropout=args.use_dropout,
     )
 
     preset = "tiny" if args.arch_size == "tiny" else None

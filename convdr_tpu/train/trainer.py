@@ -79,11 +79,19 @@ def make_train_step(
 
     use_mse = not config.no_mse
     use_ranking = config.ranking_task
+    use_dropout = getattr(config, "use_dropout", False)
+    dropout_base = jax.random.PRNGKey(config.seed)
 
-    def loss_fn(params, teacher_params, batch):
-        embs = student_apply(
-            params, batch["concat_ids"], batch["concat_mask"], True
-        )
+    def loss_fn(params, teacher_params, batch, step):
+        if use_dropout:
+            rngs = {"dropout": jax.random.fold_in(dropout_base, step)}
+            embs = student_apply(
+                params, batch["concat_ids"], batch["concat_mask"], True, rngs
+            )
+        else:
+            embs = student_apply(
+                params, batch["concat_ids"], batch["concat_mask"], True
+            )
         metrics: Dict[str, jnp.ndarray] = {}
         loss = jnp.zeros((), jnp.float32)
         if use_mse:
@@ -110,7 +118,9 @@ def make_train_step(
 
     def train_step(state: TrainState, teacher_params, batch):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (_, metrics), grads = grad_fn(state.params, teacher_params, batch)
+        (_, metrics), grads = grad_fn(
+            state.params, teacher_params, batch, state.step
+        )
         updates, new_opt_state = tx.update(
             grads, state.opt_state, state.params
         )

@@ -255,3 +255,42 @@ def test_doc_cache_memoizes():
     a1 = cache.encode("same doc")
     a2 = cache.encode("same doc")
     assert a1 is a2
+
+
+def test_dropout_training_mode(rng):
+    """use_dropout=True: stochastic student pass (reference model.train()
+    semantics), varying per step; teacher pass stays deterministic."""
+    import dataclasses
+
+    from convdr_tpu.core.loading import make_apply_fn
+
+    cfg = tiny_cfg()
+    model = AnceEncoder(config=cfg)
+    ids = jnp.asarray(rng.randint(4, 60, size=(4, 12)), jnp.int32)
+    mask = jnp.ones((4, 12), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids, mask)
+    teacher_params = model.init(jax.random.PRNGKey(1), ids, mask)
+    apply_fn = make_apply_fn(model)
+    batch = {"concat_ids": ids, "concat_mask": mask,
+             "target_ids": ids, "target_mask": mask}
+    params2 = jax.tree.map(jnp.copy, params)  # step donates state buffers
+    tcfg = TrainConfig(learning_rate=0.0, use_dropout=True)  # lr 0: isolate dropout
+    state, tx = create_train_state(params, tcfg, total_steps=10)
+    step = make_train_step(apply_fn, apply_fn, tx, tcfg)
+    losses = []
+    for _ in range(3):
+        state, metrics = step(state, teacher_params, batch)
+        losses.append(float(metrics["loss"]))
+    # lr=0 keeps params fixed; loss still varies because dropout rng folds
+    # in the step counter
+    assert len(set(losses)) > 1, losses
+
+    # deterministic mode: identical losses at lr 0
+    tcfg2 = TrainConfig(learning_rate=0.0, use_dropout=False)
+    state2, tx2 = create_train_state(params2, tcfg2, total_steps=10)
+    step2 = make_train_step(apply_fn, apply_fn, tx2, tcfg2)
+    losses2 = []
+    for _ in range(3):
+        state2, metrics2 = step2(state2, teacher_params, batch)
+        losses2.append(float(metrics2["loss"]))
+    assert len(set(losses2)) == 1, losses2
