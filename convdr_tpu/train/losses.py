@@ -46,3 +46,25 @@ def in_batch_nll_loss(
     s_neg = jnp.sum(q_embs * neg_embs, axis=-1)
     logits = jnp.stack([s_pos, s_neg], axis=1)
     return -jnp.mean(jax.nn.log_softmax(logits, axis=1)[:, 0])
+
+
+def in_batch_nll_multichunk_loss(
+    q_embs: jnp.ndarray,
+    pos_embs: jnp.ndarray,
+    pos_mask: jnp.ndarray,
+    neg_embs: jnp.ndarray,
+    neg_mask: jnp.ndarray,
+    chunk_len: int,
+) -> jnp.ndarray:
+    """Multi-chunk pairwise NLL (``NLL_MultiChunk.forward``, models.py:78-126).
+
+    Document embeddings are [B, C, E] chunk matrices with [B, C*L] token
+    masks; each document scores as the max chunk inner product with a -9999
+    bias on empty chunks (models.py:100-118), then the standard pairwise NLL.
+    """
+    from convdr_tpu.models.encoders import multi_chunk_scores
+
+    s_pos = multi_chunk_scores(q_embs, pos_embs, pos_mask, chunk_len)
+    s_neg = multi_chunk_scores(q_embs, neg_embs, neg_mask, chunk_len)
+    logits = jnp.stack([s_pos, s_neg], axis=1)
+    return -jnp.mean(jax.nn.log_softmax(logits, axis=1)[:, 0])

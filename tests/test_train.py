@@ -294,3 +294,20 @@ def test_dropout_training_mode(rng):
         state2, metrics2 = step2(state2, teacher_params, batch)
         losses2.append(float(metrics2["loss"]))
     assert len(set(losses2)) == 1, losses2
+
+
+def test_in_batch_nll_multichunk_masks_empty_chunks():
+    from convdr_tpu.train.losses import in_batch_nll_multichunk_loss
+
+    q = jnp.asarray([[1.0, 0.0]])
+    # pos: chunk0 aligned (score 1), chunk1 huge but EMPTY (masked)
+    pos = jnp.asarray([[[1.0, 0.0], [100.0, 0.0]]])
+    pos_mask = jnp.concatenate(
+        [jnp.ones((1, 4), jnp.int32), jnp.zeros((1, 4), jnp.int32)], axis=1
+    )
+    # neg: one valid chunk scoring -1
+    neg = jnp.asarray([[[-1.0, 0.0], [0.0, 0.0]]])
+    neg_mask = pos_mask
+    loss = float(in_batch_nll_multichunk_loss(q, pos, pos_mask, neg, neg_mask, 4))
+    # logits [1, -1]: loss = -log softmax -> log(1 + e^-2)
+    np.testing.assert_allclose(loss, np.log(1 + np.exp(-2.0)), rtol=1e-5)
