@@ -235,3 +235,28 @@ def test_kd_training_moves_student_to_teacher(pipeline):
         state, metrics = step(state, teacher_params, dev_batch)
         losses.append(float(metrics["mse_loss"]))
     assert losses[-1] < losses[0] * 0.5, losses[::10]
+
+
+def test_embed_pipeline_mesh_path(pipeline):
+    """generate_embeddings with a data mesh produces identical blocks."""
+    import jax
+
+    from convdr_tpu.parallel.mesh import get_mesh
+    from convdr_tpu.retrieval.blocks import load_embedding_block
+
+    mesh = get_mesh(("data",))
+    out = str(pipeline["work"] / "mesh_embeddings")
+    cache = TokenCache(str(pipeline["processed"] / "passages"))
+    rows = generate_embeddings(
+        pipeline["apply_fn"], pipeline["params"], cache, out,
+        batch_size=8, num_blocks=1, mesh=mesh,
+    )
+    assert rows == N_PASSAGES
+    mesh_emb, mesh_ids = load_embedding_block(out, 0)
+    ref_emb0, ref_ids0 = load_embedding_block(str(pipeline["embeddings"]), 0)
+    ref_emb1, ref_ids1 = load_embedding_block(str(pipeline["embeddings"]), 1)
+    # single block vs two blocks: same row set keyed by offset
+    by_offset = {int(i): e for e, i in zip(mesh_emb, mesh_ids)}
+    for emb, ids in ((ref_emb0, ref_ids0), (ref_emb1, ref_ids1)):
+        for e, i in zip(emb, ids):
+            np.testing.assert_allclose(by_offset[int(i)], e, atol=1e-5)
