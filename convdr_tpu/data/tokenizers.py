@@ -370,6 +370,21 @@ class WordPieceTokenizer(BaseTokenizer):
 
         return unicodedata.category(ch).startswith("P")
 
+    @staticmethod
+    def _is_cjk(ch: str) -> bool:
+        """CJK ideograph ranges split char-by-char (BERT basic tokenizer)."""
+        cp = ord(ch)
+        return (
+            0x4E00 <= cp <= 0x9FFF
+            or 0x3400 <= cp <= 0x4DBF
+            or 0x20000 <= cp <= 0x2A6DF
+            or 0x2A700 <= cp <= 0x2B73F
+            or 0x2B740 <= cp <= 0x2B81F
+            or 0x2B820 <= cp <= 0x2CEAF
+            or 0xF900 <= cp <= 0xFAFF
+            or 0x2F800 <= cp <= 0x2FA1F
+        )
+
     def _basic_tokenize(self, text: str) -> List[str]:
         import unicodedata
 
@@ -379,20 +394,21 @@ class WordPieceTokenizer(BaseTokenizer):
             text = "".join(c for c in text if unicodedata.category(c) != "Mn")
         out: List[str] = []
         word: List[str] = []
+
+        def flush():
+            if word:
+                out.append("".join(word))
+                word.clear()
+
         for ch in text:
             if ch.isspace():
-                if word:
-                    out.append("".join(word))
-                    word = []
-            elif self._is_punct(ch):
-                if word:
-                    out.append("".join(word))
-                    word = []
+                flush()
+            elif self._is_punct(ch) or self._is_cjk(ch):
+                flush()
                 out.append(ch)
             else:
                 word.append(ch)
-        if word:
-            out.append("".join(word))
+        flush()
         return out
 
     def _wordpiece(self, word: str) -> List[str]:
