@@ -13,6 +13,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
@@ -42,12 +43,14 @@ def bench_tpu(queries: np.ndarray, passages: np.ndarray) -> float:
     q = jnp.asarray(queries)
     p = jnp.asarray(passages)
 
+    block_rows = min(N_PASSAGES, 524288)
+
     @jax.jit
     def repeat(q, p):
         def body(i, acc):
             # perturb queries so the loop body cannot be hoisted/collapsed
             qq = q + i.astype(jnp.float32) * 1e-8
-            s, idx = flat_ip_topk(qq, p, TOP_K, block_rows=N_PASSAGES)
+            s, idx = flat_ip_topk(qq, p, TOP_K, block_rows=block_rows)
             return acc + s[0, 0] + idx[0, 0].astype(jnp.float32)
         return jax.lax.fori_loop(0, TPU_ITERS, body, 0.0)
 
@@ -77,17 +80,33 @@ def bench_cpu(queries: np.ndarray, passages: np.ndarray) -> float:
 
 
 def main():
-    rng = np.random.RandomState(0)
-    passages = rng.randn(N_PASSAGES, DIM).astype(np.float32)
-    queries = rng.randn(N_QUERIES, DIM).astype(np.float32)
+    global N_PASSAGES
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--n_passages", type=int, default=N_PASSAGES,
+        help="corpus rows (e.g. 1000000 reproduces the README 1M figure; "
+        "the CPU baseline always runs the default 100k config)",
+    )
+    args = parser.parse_args()
 
-    cpu_qps = bench_cpu(queries, passages)
+    rng = np.random.RandomState(0)
+    baseline = rng.randn(N_PASSAGES, DIM).astype(np.float32)
+    queries = rng.randn(N_QUERIES, DIM).astype(np.float32)
+    cpu_qps = bench_cpu(queries, baseline)
+
+    N_PASSAGES = args.n_passages
+    passages = (
+        baseline
+        if args.n_passages == baseline.shape[0]
+        else rng.randn(args.n_passages, DIM).astype(np.float32)
+    )
     tpu_qps = bench_tpu(queries, passages)
 
+    label = f"{args.n_passages // 1000}k"
     print(
         json.dumps(
             {
-                "metric": "flatip_top100_qps_100k",
+                "metric": f"flatip_top100_qps_{label}",
                 "value": round(tpu_qps, 2),
                 "unit": "queries/s",
                 "vs_baseline": round(tpu_qps / cpu_qps, 2),
