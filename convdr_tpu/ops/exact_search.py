@@ -109,11 +109,31 @@ def _chunked_topk(
         scores = jnp.pad(scores, ((0, 0), (0, pad)), constant_values=NEG_INF)
     s3 = scores.reshape(qn, n_groups, group)
     group_max = jnp.max(s3, axis=-1)  # [Q, n_groups]
+    return select_from_groupmax(s3, group_max, k, group, valid)
+
+
+def select_from_groupmax(
+    s3: jnp.ndarray,
+    group_max: jnp.ndarray,
+    k: int,
+    group: int,
+    valid=None,
+):
+    """Candidate selection given grouped scores + group maxima.
+
+    Shared tail of the XLA and Pallas search paths: stable top-k of the
+    maxima picks candidate groups (+1 absorber when validity-masked), group
+    ids sort ascending to preserve the global tie order, a one-hot MXU
+    matmul gathers candidates, and indices are recovered arithmetically
+    from the final stable top-k's positions.
+    """
+    qn, n_groups, _g = s3.shape
     k_grp = k
     if valid is not None:
         group_start = jnp.arange(n_groups, dtype=jnp.int32) * group
         group_max = jnp.where(group_start[None, :] < valid, group_max, NEG_INF)
         k_grp = k + 1  # absorb a spurious straddling-group selection
+    k_grp = min(k_grp, n_groups)
     _, gsel = jax.lax.top_k(group_max, k_grp)  # candidate groups, stable
     gsel = jnp.sort(gsel, axis=-1)  # ascending group ids => global order
     onehot = jax.nn.one_hot(gsel, n_groups, dtype=jnp.float32)  # [Q, kg, NG]
@@ -183,12 +203,19 @@ def flat_ip_topk(
     qn, d = queries.shape
     n = passages.shape[0]
     # A concrete negative valid_rows means "all rows valid": skip masking
-    # entirely (saves a memory pass per block).
+    # entirely (saves a memory pass per block). A TRACED valid_rows (e.g.
+    # the sentinel forwarded through an outer jit) resolves the sentinel at
+    # runtime instead.
     fully_valid = isinstance(valid_rows, int) and valid_rows < 0
-    valid = None if fully_valid else jnp.asarray(valid_rows)
+    if fully_valid:
+        valid = None
+    else:
+        valid_arr = jnp.asarray(valid_rows)
+        valid = jnp.where(valid_arr < 0, n, valid_arr)
     k_eff = min(k, n)
     q = queries
 
+    block_rows = min(block_rows, n)  # don't pad tiny corpora to a full block
     nblocks = -(-n // block_rows)
     pad = nblocks * block_rows - n
     if pad:

@@ -44,13 +44,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from convdr_tpu.ops.exact_search import NEG_INF
+from convdr_tpu.ops.exact_search import NEG_INF, select_from_groupmax
 
 
 def _score_groupmax_kernel(q_ref, p_ref, s_ref, g_ref, *, group: int):
+    # Promote a bf16 passage tile to f32 in registers: queries stay f32 so
+    # score accumulation matches the XLA path (demoting queries to the
+    # storage dtype would reorder close candidates).
     scores = jax.lax.dot_general(
         q_ref[:],
-        p_ref[:],
+        p_ref[:].astype(jnp.float32),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
@@ -126,7 +129,7 @@ def fused_scores_groupmax(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(queries.astype(passages.dtype), passages)
+    )(queries.astype(jnp.float32), passages)
     # [n_tiles, Q, gpt] -> [Q, n_tiles*gpt]; tiny (Q x NG) so the transpose
     # is negligible next to the score matrix.
     gmax = jnp.transpose(gmax, (1, 0, 2)).reshape(qn, n // group)
@@ -157,9 +160,11 @@ def pallas_flat_ip_topk(
     n = passages.shape[0]
     pad = (-n) % tile_rows
     fully_valid = isinstance(valid_rows, int) and valid_rows < 0
-    valid = None
-    if not fully_valid:
-        valid = jnp.asarray(valid_rows)
+    if fully_valid:
+        valid = None
+    else:
+        valid_arr = jnp.asarray(valid_rows)
+        valid = jnp.where(valid_arr < 0, n, valid_arr)
     if pad:
         passages = jnp.pad(passages, ((0, pad), (0, 0)))
         if valid is None:
@@ -169,32 +174,10 @@ def pallas_flat_ip_topk(
         queries, passages, group=group, tile_rows=tile_rows, interpret=interpret
     )
     n_groups = n_padded // group
-    k_eff = min(k, n)
+    k_eff = min(k, n, n_groups * group)
 
-    k_grp = min(k_eff, n_groups)
-    if valid is not None:
-        group_start = jnp.arange(n_groups, dtype=jnp.int32) * group
-        gmax = jnp.where(group_start[None, :] < valid, gmax, NEG_INF)
-        k_grp = min(k_eff + 1, n_groups)
-    _, gsel = jax.lax.top_k(gmax, k_grp)
-    gsel = jnp.sort(gsel, axis=-1)
-    onehot = jax.nn.one_hot(gsel, n_groups, dtype=jnp.float32)
     s3 = scores.reshape(qn, n_groups, group)
-    cand = jnp.einsum(
-        "qkn,qng->qkg",
-        onehot,
-        s3,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    if valid is not None:
-        cand_idx = gsel[:, :, None] * group + jnp.arange(
-            group, dtype=jnp.int32
-        )[None, None, :]
-        cand = jnp.where(cand_idx < valid, cand, NEG_INF)
-    top_s, sel = jax.lax.top_k(cand.reshape(qn, -1), k_eff)
-    grp_ids = jnp.take_along_axis(gsel, sel // group, axis=1)
-    top_i = grp_ids * group + sel % group
+    top_s, top_i = select_from_groupmax(s3, gmax, k_eff, group, valid)
     if k_eff < k:
         top_s = jnp.pad(top_s, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
         top_i = jnp.pad(top_i, ((0, 0), (0, k - k_eff)), constant_values=-1)

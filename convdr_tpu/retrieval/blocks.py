@@ -93,16 +93,19 @@ def load_embedding_block(
 def iter_embedding_blocks(
     data_dir: str,
     *,
-    max_blocks: int = 64,
+    max_blocks: Optional[int] = None,
     emb_prefix: str = EMB_PREFIX,
     embid_prefix: str = EMBID_PREFIX,
 ) -> Iterator[Tuple[int, np.ndarray, np.ndarray]]:
     """Yield consecutive blocks starting at 0; stop at the first gap
-    (reference semantics, run_convdr_inference.py:176-177)."""
-    for b in range(max_blocks):
+    (reference semantics, run_convdr_inference.py:176-177). No implicit
+    block-count cap: the writer may emit one block per data shard."""
+    b = 0
+    while max_blocks is None or b < max_blocks:
         blk = load_embedding_block(
             data_dir, b, emb_prefix=emb_prefix, embid_prefix=embid_prefix
         )
         if blk is None:
             break
         yield b, blk[0], blk[1]
+        b += 1

@@ -78,6 +78,7 @@ def generate_embeddings(
         apply_fn, mesh=mesh, data_axis=data_axis, is_query=is_query
     )
     total_rows = 0
+    emb_dim = 0  # learned from the first encoded batch; used for empty shards
     for block_id in range(num_blocks):
         embs_out = []
         ids_out = []
@@ -95,11 +96,13 @@ def generate_embeddings(
             else:
                 embs_out.append(out[valid])
                 ids_out.append(offsets[valid])
-        block_embs = (
-            np.concatenate(embs_out, axis=0)
-            if embs_out
-            else np.zeros((0, 0), np.float32)
-        )
+        if embs_out:
+            block_embs = np.concatenate(embs_out, axis=0)
+            emb_dim = block_embs.shape[-1]
+        else:
+            # empty round-robin shard (num_blocks > record count): keep the
+            # real embedding dim so downstream loads/search stay well-typed
+            block_embs = np.zeros((0, emb_dim), np.float32)
         block_ids = (
             np.concatenate(ids_out, axis=0) if ids_out else np.zeros((0,), np.int64)
         )

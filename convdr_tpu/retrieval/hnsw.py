@@ -109,10 +109,15 @@ class DenseHNSWFlatIndexer:
                  ef_construction: int = 200):
         self.buffer_size = buffer_size
         self.index_id_to_db_id: List[object] = []
+        if store_n > 128:
+            logger.warning(
+                "store_n=%d as HNSW degree M is large (reference default); "
+                "build time and memory grow with M", store_n,
+            )
         # +1 auxiliary dimension for the IP->L2 conversion
         self.index = HnswIndex(
             vector_sz + 1,
-            m=min(store_n, 64),
+            m=store_n,
             ef_construction=ef_construction,
             ef_search=ef_search,
         )

@@ -31,8 +31,16 @@ def dedup_ranked_candidates(
     offsets: Sequence[int],
     offset2pid: Sequence[int],
     top_n: int,
+    *,
+    pad_to_top_n: bool = True,
 ) -> List[Tuple[int, float]]:
-    """Offsets -> pids with best-rank dedup; result ranked, <= top_n long."""
+    """Offsets -> pids with best-rank dedup; result ranked, top_n long.
+
+    ``pad_to_top_n`` replicates the reference exactly: EvalDevQuery
+    preallocates ``[(0, 0)] * topN`` (run_convdr_inference.py:52) and writes
+    all topN lines even when dedup leaves fewer unique pids, so short lists
+    pad with (pid 0, score 0) placeholder rows.
+    """
     seen = set()
     out: List[Tuple[int, float]] = []
     for score, offset in zip(scores, offsets):
@@ -45,6 +53,8 @@ def dedup_ranked_candidates(
         out.append((pid, float(score)))
         if len(out) >= top_n:
             break
+    if pad_to_top_n:
+        out.extend([(0, 0.0)] * (top_n - len(out)))
     return out
 
 
@@ -59,9 +69,10 @@ def build_run(
     first occurrence (reference behavior, run_convdr_inference.py:49-55)."""
     run: Dict[str, List[Tuple[int, float]]] = {}
     for row, qid in enumerate(qids):
+        qid = str(qid)
         if qid in run:
             continue
-        run[str(qid)] = dedup_ranked_candidates(
+        run[qid] = dedup_ranked_candidates(
             scores[row], offsets[row], offset2pid, top_n
         )
     return run
@@ -91,7 +102,8 @@ def write_openmatch_jsonl(
     raw_sequences: Optional[Mapping[str, Sequence[str]]] = None,
 ) -> None:
     qrels = qrels or {}
-    raw_sequences = raw_sequences or {}
+    raw_sequences = {str(k): v for k, v in (raw_sequences or {}).items()}
+    queries = {str(k): v for k, v in queries.items()}
     with open(path, "w") as f:
         for qid, ranked in run.items():
             query_text = queries[qid]

@@ -48,12 +48,15 @@ class BlockedSearcher:
 
     def _bucket_rows(self, n: int) -> int:
         """Pad block row counts to power-of-two buckets >= 8192 to bound the
-        number of distinct compiled shapes."""
+        number of distinct compiled shapes; buckets round up to a multiple
+        of shards*128 so the sharded search divides evenly on any axis size
+        (incl. non-power-of-two slices)."""
         bucket = 8192
-        if self.mesh is not None:
-            bucket = max(bucket, self.mesh.shape[self.index_axis] * 128)
         while bucket < n:
             bucket *= 2
+        if self.mesh is not None:
+            quantum = self.mesh.shape[self.index_axis] * 128
+            bucket = -(-bucket // quantum) * quantum
         return bucket
 
     def search_block(
@@ -107,6 +110,9 @@ class BlockedSearcher:
         n_blocks = 0
         for block_id, emb, emb2offset in iter_embedding_blocks(ann_data_dir):
             n_blocks += 1
+            if emb.shape[0] == 0:
+                logger.info("block %d is empty; skipping", block_id)
+                continue
             logger.info(
                 "searching block %d: %s passages", block_id, emb.shape[0]
             )

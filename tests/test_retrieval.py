@@ -90,9 +90,26 @@ def test_dedup_keeps_best_rank():
     assert out == [(100, 9.0), (101, 7.0), (102, 6.0)]
 
 
-def test_dedup_skips_invalid():
+def test_dedup_skips_invalid_and_pads_to_top_n():
+    """Short lists pad with (0, 0) placeholder rows like EvalDevQuery's
+    preallocated [(0, 0)] * topN (run_convdr_inference.py:52)."""
     out = dedup_ranked_candidates([5.0, 4.0], [-1, 0], [7], 5)
-    assert out == [(7, 4.0)]
+    assert out == [(7, 4.0), (0, 0.0), (0, 0.0), (0, 0.0), (0, 0.0)]
+    out2 = dedup_ranked_candidates([5.0, 4.0], [-1, 0], [7], 5,
+                                   pad_to_top_n=False)
+    assert out2 == [(7, 4.0)]
+
+
+def test_build_run_int_qids_first_occurrence_wins():
+    """Non-string qids normalize consistently; duplicates keep row 0."""
+    import numpy as np
+
+    from convdr_tpu.retrieval.run_writer import build_run
+
+    scores = np.asarray([[9.0], [1.0]])
+    offsets = np.asarray([[0], [1]])
+    run = build_run([7, 7], scores, offsets, [100, 101], 1)
+    assert run == {"7": [(100, 9.0)]}
 
 
 def test_write_run_outputs(tmp_path):
