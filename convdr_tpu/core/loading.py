@@ -36,22 +36,38 @@ from convdr_tpu.models.encoders import build_model
 def load_tokenizer_for(
     config: ModelConfig, path: Optional[str]
 ) -> Any:
+    """Resolve a tokenizer for a checkpoint path.
+
+    None/"tiny"/"init" -> the deterministic test vocab. A directory must
+    contain vocab files (itself or, for single-file checkpoints such as DPR
+    ``.cp`` files, its parent directory). A path that names no vocab raises
+    instead of silently degrading to the tiny vocab -- mis-tokenization
+    silently destroys retrieval quality.
+    """
     cls = (
         ByteLevelBPETokenizer
         if config.tokenizer_kind == "roberta"
         else WordPieceTokenizer
     )
-    if path is None or path == "tiny":
+    if path in (None, "tiny", "init"):
         return cls.tiny()
+    vocab_marker = (
+        "vocab.json" if config.tokenizer_kind == "roberta" else "vocab.txt"
+    )
+    candidates = []
     if os.path.isdir(path):
-        vocab_marker = (
-            "vocab.json" if config.tokenizer_kind == "roberta" else "vocab.txt"
-        )
-        if os.path.exists(os.path.join(path, vocab_marker)):
-            return cls.from_pretrained(path)
-    elif os.path.exists(path):
-        return cls.from_pretrained(path)
-    return cls.tiny()
+        candidates.append(path)
+    elif os.path.isfile(path):
+        # single-file checkpoint (e.g. DPR CheckpointState): vocab lives
+        # next to it
+        candidates.append(os.path.dirname(path) or ".")
+    for cand in candidates:
+        if os.path.exists(os.path.join(cand, vocab_marker)):
+            return cls.from_pretrained(cand)
+    raise FileNotFoundError(
+        f"No {vocab_marker} found for tokenizer at {path!r}; pass "
+        "tokenizer_path explicitly (or 'tiny' for the test vocab)"
+    )
 
 
 def _resolve_orbax_dir(path: str) -> Optional[str]:

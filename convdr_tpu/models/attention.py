@@ -62,8 +62,14 @@ def flash_attention(q, k, v, attention_mask, dtype):
     head_dim = q.shape[-1]
     seq = q.shape[1]
     # The library defaults block far too small for encoder shapes (measured
-    # 9.2 ms vs 3.6 ms per RoBERTa-base layer on v5e); use full-512 tiles.
-    blk = min(seq, 512)
+    # 9.2 ms vs 3.6 ms per RoBERTa-base layer on v5e). Blocks must DIVIDE
+    # seq (the kernel hard-asserts it): pick the largest 128-multiple
+    # divisor of seq up to 512.
+    blk = 128
+    for cand in (512, 384, 256, 128):
+        if seq % cand == 0:
+            blk = cand
+            break
     block_sizes = BlockSizes(
         block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
         block_q_major_dkv=blk, block_k_major_dkv=blk, block_k_dkv=blk,

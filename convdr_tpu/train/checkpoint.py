@@ -21,10 +21,14 @@ import orbax.checkpoint as ocp
 
 
 def save_checkpoint(path: str, state: Any, metadata: Optional[dict] = None) -> None:
-    """Save a pytree (TrainState or bare params) to ``path`` (a directory)."""
+    """Save a pytree (TrainState or bare params) to ``path`` (a directory).
+
+    Overwrites an existing checkpoint (orbax refuses by default, which
+    would crash re-runs / resumed runs into the same output_dir).
+    """
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, jax.tree.map(np.asarray, state))
+    ckptr.save(path, jax.tree.map(np.asarray, state), force=True)
     ckptr.wait_until_finished()
     if metadata is not None:
         with open(os.path.join(path, "convdr_meta.json"), "w") as f:

@@ -79,17 +79,16 @@ def train_one_model(
     """
     batch_size = config.per_device_batch_size * max(1, n_devices)
     steps_per_epoch = max(len(dataset) // batch_size, 1)
+    opt_steps_per_epoch = max(
+        steps_per_epoch // config.gradient_accumulation_steps, 1
+    )
     if config.max_steps > 0:
         t_total = config.max_steps
-        epochs = config.max_steps // max(
-            steps_per_epoch // config.gradient_accumulation_steps, 1
-        ) + 1
+        epochs = config.max_steps // opt_steps_per_epoch + 1
     else:
         epochs = int(np.ceil(config.num_train_epochs))
-        t_total = (
-            steps_per_epoch // config.gradient_accumulation_steps
-        ) * int(config.num_train_epochs)
-        t_total = max(t_total, 1)
+        # fractional epochs stop mid-epoch at t_total
+        t_total = max(int(opt_steps_per_epoch * config.num_train_epochs), 1)
 
     state, tx = create_train_state(student_params, config, t_total)
     resume_step = 0
@@ -114,28 +113,43 @@ def train_one_model(
         "***** Running training ***** examples=%d epochs=%d batch=%d total_steps=%d",
         len(dataset), epochs, batch_size, t_total,
     )
-    global_step = 0
-    accum: Dict[str, float] = {}
+    # Counters stay host-side so the loop never forces a device sync
+    # between steps (each float()/int() on a jax scalar costs a full
+    # dispatch round-trip on a remote TPU link); metric sums accumulate as
+    # device arrays and transfer only at log boundaries.
+    start_micro = int(state.step)  # nonzero after resume
+    micro_step = 0
+    global_step = start_micro // config.gradient_accumulation_steps
+    accum: Dict[str, object] = {}
     n_accum = 0
+    total_loss = 0.0
+    n_loss_steps = 0
     done = False
     for epoch in range(epochs):
         for batch in dataset.batches(
             batch_size, shuffle=True, seed=config.seed + epoch, drop_last=True
         ):
+            if micro_step < start_micro:
+                # resumed run: fast-forward past already-trained batches so
+                # the data coverage matches an uninterrupted run
+                micro_step += 1
+                continue
             dev_batch = _device_batch(batch, config, doc_cache, rng)
             state, m = step_fn(state, teacher_params, dev_batch)
+            micro_step += 1
             for k, v in m.items():
-                accum[k] = accum.get(k, 0.0) + float(v)
+                accum[k] = accum.get(k, 0.0) + v
             n_accum += 1
-            micro_step = int(state.step)
             if micro_step % config.gradient_accumulation_steps == 0:
                 global_step = micro_step // config.gradient_accumulation_steps
                 if config.log_steps > 0 and global_step % config.log_steps == 0:
-                    means = {k: v / n_accum for k, v in accum.items()}
+                    means = {k: float(v) / n_accum for k, v in accum.items()}
                     logger.info("fold %s step %d %s", fold_id, global_step,
                                 {k: round(v, 5) for k, v in means.items()})
                     if metrics is not None:
                         metrics.log(global_step, means)
+                    total_loss += means.get("loss", 0.0) * n_accum
+                    n_loss_steps += n_accum
                     accum, n_accum = {}, 0
                 if (
                     output_dir
@@ -149,13 +163,16 @@ def train_one_model(
             if config.max_steps > 0 and global_step >= config.max_steps:
                 done = True
                 break
-            if resume_step and global_step >= t_total:
-                done = True  # resumed run: stop at the original budget
+            if global_step >= t_total:
+                done = True  # stop at the schedule's budget
                 break
         if done:
             break
 
-    avg = accum.get("loss", 0.0) / max(n_accum, 1)
+    if n_accum:
+        total_loss += float(accum.get("loss", 0.0))
+        n_loss_steps += n_accum
+    avg = total_loss / max(n_loss_steps, 1)
     return state.params, global_step, avg
 
 

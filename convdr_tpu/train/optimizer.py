@@ -15,12 +15,11 @@ import optax
 
 from convdr_tpu.core.config import TrainConfig
 
-# Flax param-tree leaves that never receive weight decay: biases everywhere,
-# and LayerNorm scales (reference no_decay = ['bias', 'LayerNorm.weight']).
-_NORM_MODULES = ("norm", "head_norm")
-
 
 def _decay_mask(params: Any) -> Any:
+    """No-decay leaves: every ``bias`` plus LayerNorm ``scale`` (reference
+    no_decay = ['bias', 'LayerNorm.weight'])."""
+
     def mask_path(path, _leaf) -> bool:
         keys = [getattr(k, "key", str(k)) for k in path]
         leaf_name = keys[-1]

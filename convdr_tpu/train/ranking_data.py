@@ -24,16 +24,28 @@ from convdr_tpu.data.padding import pad_input_ids_with_mask
 
 
 class DocumentTokenizerCache:
-    """Memoized ``title[SEP]text`` document tokenization (train.py:127-137)."""
+    """Memoized ``title[SEP]text`` document tokenization (train.py:127-137).
 
-    def __init__(self, tokenizer, max_doc_length: int = 512):
+    Entries are stored as int32 numpy arrays (~8x smaller than Python int
+    lists) and the cache is LRU-bounded: an unbounded text->tokens map over
+    a large corpus would grow to tens of GB of host RAM mid-training.
+    """
+
+    def __init__(self, tokenizer, max_doc_length: int = 512,
+                 max_entries: int = 500_000):
+        import collections
+
         self.tokenizer = tokenizer
         self.max_doc_length = max_doc_length
-        self._cache: Dict[str, Tuple[List[int], List[int]]] = {}
+        self.max_entries = max_entries
+        self._cache: "collections.OrderedDict[str, Tuple[np.ndarray, np.ndarray]]" = (
+            collections.OrderedDict()
+        )
 
-    def encode(self, doc: str) -> Tuple[List[int], List[int]]:
+    def encode(self, doc: str) -> Tuple[np.ndarray, np.ndarray]:
         hit = self._cache.get(doc)
         if hit is not None:
+            self._cache.move_to_end(doc)
             return hit
         parts = doc.split("[SEP]")
         if len(parts) == 2:
@@ -47,8 +59,11 @@ class DocumentTokenizerCache:
             ids = self.tokenizer.encode(
                 doc, add_special_tokens=True, max_length=self.max_doc_length
             )
-        out = pad_input_ids_with_mask(ids, self.max_doc_length)
+        padded, mask = pad_input_ids_with_mask(ids, self.max_doc_length)
+        out = (np.asarray(padded, np.int32), np.asarray(mask, np.int32))
         self._cache[doc] = out
+        if len(self._cache) > self.max_entries:
+            self._cache.popitem(last=False)
         return out
 
 
