@@ -166,6 +166,13 @@ def load_model_and_params(
         arch = dataclasses.replace(arch, **updates)
         config = dataclasses.replace(config, arch=arch)
 
+    # Keep the tokenizer's declared capacity in sync with the actual
+    # position-embedding table so driver-side clamps
+    # (min(max_concat_length, max_len_single_sentence)) are meaningful.
+    tokenizer.model_max_length = (
+        config.arch.max_position_embeddings - config.arch.position_offset
+    )
+
     model = build_model(config, dtype=dtype)
 
     orbax_dir = (

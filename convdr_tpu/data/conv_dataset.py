@@ -95,10 +95,13 @@ def parse_topics_file(
             target_sent: str = record["target"]
             auto_sent: str = record.get("output", "no")
             raw_sent: str = record["input"][-1]
+            # Reference parity (util.py:463-466): these modes REQUIRE the
+            # response field -- a missing key must raise, not silently
+            # degrade the run to no_res semantics.
             if query_mode == "man_can":
-                responses = record.get("manual_response", [])
+                responses = record["manual_response"]
             elif query_mode == "auto_can":
-                responses = record.get("automatic_response", [])
+                responses = record["automatic_response"]
             else:
                 responses = []
             topic_number = record.get("topic_number")

@@ -69,11 +69,19 @@ class TokenCacheWriter:
         with open(self.base_path + "_meta", "w") as f:
             json.dump(meta, f)
 
+    def abort(self) -> None:
+        """Close without writing the meta sidecar (partial cache stays
+        unreadable rather than masquerading as complete)."""
+        self._f.close()
+
     def __enter__(self) -> "TokenCacheWriter":
         return self
 
-    def __exit__(self, *exc) -> None:
-        self.close()
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is not None:
+            self.abort()
+        else:
+            self.close()
 
 
 class TokenCache:

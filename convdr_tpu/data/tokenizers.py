@@ -55,6 +55,19 @@ def _get_pairs(word: Tuple[str, ...]):
     return {(word[i], word[i + 1]) for i in range(len(word) - 1)}
 
 
+def _truncate_longest_first(ids_a, ids_b, budget: int):
+    """HF longest_first: repeatedly trim the longer segment's tail."""
+    if ids_b is None:
+        return ids_a[:budget], None
+    a, b = len(ids_a), len(ids_b)
+    while a + b > budget:
+        if a >= b:
+            a -= 1
+        else:
+            b -= 1
+    return ids_a[:a], ids_b[:b]
+
+
 class BaseTokenizer:
     """Shared API: vocab dict + special tokens + added-token extension."""
 
@@ -170,19 +183,22 @@ class BaseTokenizer:
             if text_pair is not None
             else None
         )
+        if max_length is not None and add_special_tokens:
+            # HF longest_first truncation: shrink the longer segment one
+            # token at a time until the assembled sequence fits, keeping the
+            # special-token structure intact (the naive "chop the built
+            # sequence" would drop the pair separators entirely).
+            num_special = (
+                self.num_special_tokens_pair() if ids_b is not None else 2
+            )
+            budget = max(max_length - num_special, 0)
+            ids_a, ids_b = _truncate_longest_first(ids_a, ids_b, budget)
         ids = self.build_inputs(ids_a, ids_b) if add_special_tokens else (
             ids_a + (ids_b or [])
         )
         if max_length is not None and len(ids) > max_length:
-            ids = self._truncate(ids, max_length, add_special_tokens)
+            ids = ids[:max_length]
         return ids
-
-    def _truncate(self, ids: List[int], max_length: int, had_special: bool) -> List[int]:
-        if not had_special:
-            return ids[:max_length]
-        # Keep trailing separator(s) valid: truncate body, re-append final sep.
-        tail = ids[-1]
-        return ids[: max_length - 1] + [tail]
 
     def build_inputs(self, ids_a: List[int], ids_b: Optional[List[int]]) -> List[int]:
         raise NotImplementedError
@@ -385,9 +401,30 @@ class WordPieceTokenizer(BaseTokenizer):
             or 0x2F800 <= cp <= 0x2FA1F
         )
 
+    @staticmethod
+    def _clean_text(text: str) -> str:
+        """HF BasicTokenizer._clean_text: drop control/format chars and the
+        replacement char, normalize exotic whitespace to spaces."""
+        import unicodedata
+
+        out = []
+        for ch in text:
+            cp = ord(ch)
+            if cp == 0 or cp == 0xFFFD:
+                continue
+            cat = unicodedata.category(ch)
+            if cat.startswith("C") and ch not in ("\t", "\n", "\r"):
+                continue
+            if cat == "Zs" or ch in ("\t", "\n", "\r"):
+                out.append(" ")
+            else:
+                out.append(ch)
+        return "".join(out)
+
     def _basic_tokenize(self, text: str) -> List[str]:
         import unicodedata
 
+        text = self._clean_text(text)
         if self.do_lower_case:
             text = text.lower()
             text = unicodedata.normalize("NFD", text)

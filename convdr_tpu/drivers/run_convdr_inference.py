@@ -83,6 +83,13 @@ def encode_queries(args, model_path, eval_file, dtype):
     _cfg, tokenizer, model, params = load_model_and_params(
         args.model_type, model_path, dtype=dtype, arch_preset=preset
     )
+    # reference clamp (run_convdr_inference.py:395-398): concat length may
+    # not exceed what the position-embedding table supports
+    if args.max_concat_length <= 0:
+        args.max_concat_length = tokenizer.max_len_single_sentence
+    args.max_concat_length = min(
+        args.max_concat_length, tokenizer.max_len_single_sentence
+    )
     dataset = ConvSearchDataset(
         [eval_file],
         tokenizer,

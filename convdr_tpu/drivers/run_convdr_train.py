@@ -128,6 +128,20 @@ def main(argv=None):
     )
     teacher_apply = make_apply_fn(t_model)
 
+    # reference clamp (run_convdr_train.py:475-478): the concat length may
+    # not exceed the position-embedding capacity
+    max_single = (
+        t_config.arch.max_position_embeddings - t_config.arch.position_offset
+    )
+    clamped_concat = min(
+        args.max_concat_length if args.max_concat_length > 0 else max_single,
+        max_single,
+    )
+    if clamped_concat != config.max_concat_length:
+        import dataclasses as _dc
+
+        config = _dc.replace(config, max_concat_length=clamped_concat)
+
     extra_tokens = (
         (RESPONSE_TOKEN,) if args.query in ("man_can", "auto_can") else ()
     )

@@ -22,14 +22,11 @@ import argparse
 import copy
 import json
 import os
-import pickle
 from typing import Dict, List
 
-from convdr_tpu.etl.cbor_car import iter_paragraphs
 from convdr_tpu.etl.common import (
-    CAR_BASE_ID,
     contiguous_topic_folds,
-    parse_sim_file,
+    merge_car_marco_collection,
     remap_qrels,
     write_topics_with_folds,
 )
@@ -44,43 +41,15 @@ def build_collection(
     car_idx_to_id_file: str,
 ) -> Dict[str, int]:
     """Merge CAR + MARCO with dedup; returns car_id_to_idx."""
-    if all(
-        os.path.exists(p)
-        for p in (out_collection_file, car_id_to_idx_file, car_idx_to_id_file)
-    ):
-        with open(car_id_to_idx_file, "rb") as f:
-            return pickle.load(f)
-    sim_dict = parse_sim_file(duplicate_file)
-    car_id_to_idx: Dict[str, int] = {}
-    car_idx_to_id: List[str] = []
-    i = 0
-    with open(out_collection_file, "w") as out:
-        with open(car_cbor, "rb") as f:
-            for para in iter_paragraphs(f):
-                car_id = "CAR_" + para.para_id
-                text = (
-                    para.get_text()
-                    .replace("\t", " ")
-                    .replace("\n", " ")
-                    .replace("\r", " ")
-                )
-                idx = CAR_BASE_ID + i
-                car_id_to_idx[car_id] = idx
-                car_idx_to_id.append(car_id)
-                out.write(f"{idx}\t{text}\n")
-                i += 1
-        removed = 0
-        with open(msmarco_collection, "r") as m:
-            for line in m:
-                marco_id, text = line.strip().split("\t")
-                if ("MARCO_" + marco_id) in sim_dict:
-                    removed += 1
-                    continue
-                out.write(f"{marco_id}\t{text}\n")
-    with open(car_id_to_idx_file, "wb") as f:
-        pickle.dump(car_id_to_idx, f)
-    with open(car_idx_to_id_file, "wb") as f:
-        pickle.dump(car_idx_to_id, f)
+    car_id_to_idx, _ = merge_car_marco_collection(
+        car_cbor,
+        msmarco_collection,
+        duplicate_file,
+        out_collection_file,
+        car_id_to_idx_file,
+        car_idx_to_id_file,
+        keep_in_memory=False,
+    )
     return car_id_to_idx
 
 

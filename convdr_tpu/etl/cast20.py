@@ -14,14 +14,11 @@ import argparse
 import copy
 import json
 import os
-import pickle
 from typing import Dict, List, Tuple
 
 from convdr_tpu.core.config import NUM_FOLD
-from convdr_tpu.etl.cbor_car import iter_paragraphs
 from convdr_tpu.etl.common import (
-    CAR_BASE_ID,
-    parse_sim_file,
+    merge_car_marco_collection,
     remap_qrels,
     write_topics_with_folds,
 )
@@ -44,56 +41,15 @@ def build_collection_in_memory(
     Returns (car_id_to_idx, collection{int pid: text}). If preprocessed
     outputs exist they are reloaded (preprocess_cast20.py:68-84).
     """
-    collection: Dict[int, str] = {}
-    if all(
-        os.path.exists(p)
-        for p in (out_collection_file, car_id_to_idx_file, car_idx_to_id_file)
-    ):
-        with open(car_id_to_idx_file, "rb") as f:
-            car_id_to_idx = pickle.load(f)
-        with open(out_collection_file) as f:
-            for line in f:
-                parts = line.strip().split("\t")
-                if len(parts) < 2:
-                    continue
-                try:
-                    collection[int(parts[0])] = parts[1]
-                except ValueError:
-                    continue
-        return car_id_to_idx, collection
-
-    sim_dict = parse_sim_file(duplicate_file)
-    car_id_to_idx: Dict[str, int] = {}
-    car_idx_to_id: List[str] = []
-    i = 0
-    with open(out_collection_file, "w") as out:
-        with open(car_cbor, "rb") as f:
-            for para in iter_paragraphs(f):
-                car_id = "CAR_" + para.para_id
-                text = (
-                    para.get_text()
-                    .replace("\t", " ")
-                    .replace("\n", " ")
-                    .replace("\r", " ")
-                )
-                idx = CAR_BASE_ID + i
-                car_id_to_idx[car_id] = idx
-                car_idx_to_id.append(car_id)
-                collection[idx] = text
-                out.write(f"{idx}\t{text}\n")
-                i += 1
-        with open(msmarco_collection) as m:
-            for line in m:
-                marco_id, text = line.strip().split("\t")
-                if ("MARCO_" + marco_id) in sim_dict:
-                    continue
-                collection[int(marco_id)] = text
-                out.write(f"{marco_id}\t{text}\n")
-    with open(car_id_to_idx_file, "wb") as f:
-        pickle.dump(car_id_to_idx, f)
-    with open(car_idx_to_id_file, "wb") as f:
-        pickle.dump(car_idx_to_id, f)
-    return car_id_to_idx, collection
+    return merge_car_marco_collection(
+        car_cbor,
+        msmarco_collection,
+        duplicate_file,
+        out_collection_file,
+        car_id_to_idx_file,
+        car_idx_to_id_file,
+        keep_in_memory=True,
+    )
 
 
 def resolve_raw_id(

@@ -111,9 +111,33 @@ def generate_ranking_data(
         fold_files = [open(f"{output_path}.{x}", "w") for x in range(NUM_FOLD)]
 
     written = 0
+    skipped_no_fold = 0
+    try:
+        written, skipped_no_fold = _write_records(
+            output_path, items, query_positive, qid_to_fold, cast,
+            fold_files, rng, num_negs, cqr, all_passages,
+        )
+    finally:
+        for f in fold_files:
+            f.close()
+    if skipped_no_fold:
+        print(f"skipped {skipped_no_fold} queries with no fold assignment")
+    return written
+
+
+def _write_records(output_path, items, query_positive, qid_to_fold, cast,
+                   fold_files, rng, num_negs, cqr, all_passages):
+    written = 0
+    skipped_no_fold = 0
     with open(output_path, "w") as out:
         for qid, negs in items:
             if qid not in query_positive:
+                continue
+            if cast and qid not in qid_to_fold:
+                # topics parked past NUM_FOLD by the contiguous split appear
+                # in no fold file (see contiguous_topic_folds); they cannot
+                # be routed, so skip rather than crash mid-write
+                skipped_no_fold += 1
                 continue
             positives = query_positive[qid]
             max_positive = max(positives, key=lambda p: positives[p])
@@ -134,9 +158,7 @@ def generate_ranking_data(
                 fold_files[qid_to_fold[qid]].write(line)
             out.write(line)
             written += 1
-    for f in fold_files:
-        f.close()
-    return written
+    return written, skipped_no_fold
 
 
 def main(argv=None):

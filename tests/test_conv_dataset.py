@@ -31,6 +31,8 @@ def topics_file(tmp_path):
             "input": ["only question"],
             "target": "only question rewritten",
             "output": "rewriter output",
+            "manual_response": [],
+            "automatic_response": [],
         },
     ]
     path = tmp_path / "topics.jsonl"

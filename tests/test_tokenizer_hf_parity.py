@@ -122,3 +122,39 @@ def test_wordpiece_pair_matches_hf(wp_vocab_dir):
     got = ours.encode("hello world", text_pair="the quick",
                       add_special_tokens=True)
     assert got == ref
+
+
+def test_pair_truncation_longest_first_matches_hf(bpe_vocab_dir, wp_vocab_dir):
+    """Long title + short text must truncate like HF (longest_first)."""
+    ours_r = ByteLevelBPETokenizer.from_pretrained(bpe_vocab_dir)
+    theirs_r = transformers.RobertaTokenizer(
+        vocab_file=os.path.join(bpe_vocab_dir, "vocab.json"),
+        merges_file=os.path.join(bpe_vocab_dir, "merges.txt"),
+    )
+    long_title = "hello world " * 10
+    short_text = "the quick"
+    ref = theirs_r.encode(long_title, short_text, add_special_tokens=True,
+                          max_length=20, truncation="longest_first")
+    got = ours_r.encode(long_title, text_pair=short_text,
+                        add_special_tokens=True, max_length=20)
+    assert got == ref
+
+    ours_w = WordPieceTokenizer.from_pretrained(wp_vocab_dir)
+    theirs_w = transformers.BertTokenizer(
+        vocab_file=os.path.join(wp_vocab_dir, "vocab.txt"), do_lower_case=True
+    )
+    ref = theirs_w.encode(long_title, short_text, add_special_tokens=True,
+                          max_length=20, truncation="longest_first")
+    got = ours_w.encode(long_title, text_pair=short_text,
+                        add_special_tokens=True, max_length=20)
+    assert got == ref
+
+
+def test_control_chars_match_hf(wp_vocab_dir):
+    """HF strips control/zero-width chars before WordPiece."""
+    ours = WordPieceTokenizer.from_pretrained(wp_vocab_dir)
+    theirs = transformers.BertTokenizer(
+        vocab_file=os.path.join(wp_vocab_dir, "vocab.txt"), do_lower_case=True
+    )
+    for text in ("foo​bar", "foo\x01bar", "a\x00b"):
+        assert ours.encode(text) == theirs.encode(text), repr(text)
