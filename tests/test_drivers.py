@@ -278,3 +278,64 @@ def test_07_multi_chunk_pipeline(workdir):
         by_q.setdefault(qid, []).append(pid)
     for qid, pids in by_q.items():
         assert len(pids) == len(set(pids))
+
+
+def test_08_ranking_task_driver(workdir):
+    """--ranking_task end to end: doc_pos/doc_negs consumed from the train
+    file, ranking loss reported."""
+    raw = workdir / "raw"
+    rank_file = raw / "train_rank.jsonl"
+    with open(rank_file, "w") as f:
+        for t, topic in enumerate(TOPICS):
+            f.write(json.dumps({
+                "topic_number": t + 1,
+                "query_number": 1,
+                "input": [f"tell me about {topic}"],
+                "target": f"tell me about {topic}",
+                "doc_pos": f"all about {topic} number {t}",
+                "doc_negs": [
+                    f"all about {TOPICS[(t + j) % 4]} number {10 + j}"
+                    for j in range(1, 4)
+                ],
+            }) + "\n")
+    outputs = run_convdr_train.main([
+        "--output_dir", str(workdir / "rank_model"),
+        "--model_name_or_path", "init",
+        "--train_file", str(rank_file),
+        "--model_type", "rdot_nll",
+        "--ranking_task",
+        "--num_negatives", "2",
+        "--max_steps", "2",
+        "--per_gpu_train_batch_size", "2",
+        "--max_concat_length", "48",
+        "--max_query_length", "48",
+        "--arch_size", "tiny",
+        "--no_mesh",
+    ])
+    assert (workdir / "rank_model" / "final").exists()
+    recs = [json.loads(l) for l in
+            open(workdir / "rank_model" / "metrics.jsonl")]
+    assert any("ranking_loss" in r for r in recs)
+
+
+def test_09_no_mse_ranking_driver(workdir):
+    """--no_mse --ranking_task: loss is the ranking loss alone."""
+    raw = workdir / "raw"
+    outputs = run_convdr_train.main([
+        "--output_dir", str(workdir / "nomse_model"),
+        "--model_name_or_path", "init",
+        "--train_file", str(raw / "train_rank.jsonl"),
+        "--model_type", "rdot_nll",
+        "--ranking_task", "--no_mse",
+        "--num_negatives", "2",
+        "--max_steps", "1",
+        "--per_gpu_train_batch_size", "2",
+        "--max_concat_length", "48",
+        "--max_query_length", "48",
+        "--arch_size", "tiny",
+        "--no_mesh",
+    ])
+    recs = [json.loads(l) for l in
+            open(workdir / "nomse_model" / "metrics.jsonl")]
+    assert all("mse_loss" not in r for r in recs)
+    assert any("ranking_loss" in r for r in recs)
