@@ -23,7 +23,7 @@ N_PASSAGES = 100_000
 N_QUERIES = 512
 DIM = 768
 TOP_K = 100
-TPU_ITERS = 64
+TPU_ITERS = 128
 CPU_ITERS = 3
 
 

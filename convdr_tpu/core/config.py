@@ -137,6 +137,9 @@ class SearchConfig:
     query_tile: int = 256
     score_dtype: str = "float32"
     storage_dtype: str = "float32"  # embedding block storage on HBM
+    # "highest" = oracle-bit-exact (FAISS-parity); "high"/"default" trade
+    # ~2e-3 score error for matmul speed (see ops/exact_search.py)
+    matmul_precision: str = "highest"
 
 
 @dataclasses.dataclass(frozen=True)

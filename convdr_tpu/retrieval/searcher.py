@@ -92,6 +92,7 @@ class BlockedSearcher:
                 top_n,
                 block_rows=min(self.config.passage_block_size, padded_n),
                 valid_rows=n,
+                precision=self.config.matmul_precision,
             )
         return np.asarray(s), np.asarray(i)
 
