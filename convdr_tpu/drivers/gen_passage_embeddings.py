@@ -18,7 +18,11 @@ import os
 import jax
 import jax.numpy as jnp
 
-from convdr_tpu.core.loading import load_model_and_params, make_apply_fn
+from convdr_tpu.core.loading import (
+    gelu_arch_overrides,
+    load_model_and_params,
+    make_apply_fn,
+)
 from convdr_tpu.core.registry import MODEL_REGISTRY
 from convdr_tpu.data.token_cache import TokenCache
 from convdr_tpu.parallel.mesh import get_mesh
@@ -44,6 +48,10 @@ def get_arguments(argv=None):
     parser.add_argument("--dtype", default="bfloat16",
                         choices=["float32", "bfloat16"],
                         help="compute dtype for the encoder")
+    parser.add_argument("--gelu", default="auto",
+                        choices=["auto", "erf", "tanh"],
+                        help="GELU flavor; auto = tanh under bf16 (~20%% "
+                        "faster, inside bf16 noise), erf under f32")
     parser.add_argument("--arch_size", default="base", choices=["base", "tiny"],
                     help="tiny = miniature architecture for smoke tests")
     parser.add_argument("--no_mesh", action="store_true",
@@ -60,7 +68,8 @@ def main(argv=None):
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     preset = "tiny" if args.arch_size == "tiny" else None
     _, _, model, params = load_model_and_params(
-        args.model_type, args.checkpoint, dtype=dtype, arch_preset=preset
+        args.model_type, args.checkpoint, dtype=dtype, arch_preset=preset,
+        arch_overrides=gelu_arch_overrides(args.gelu, args.dtype),
     )
     apply_fn = make_apply_fn(model)
     cache = TokenCache(os.path.join(args.data_dir, "passages"))

@@ -20,7 +20,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from convdr_tpu.core.config import TrainConfig
-from convdr_tpu.core.loading import load_model_and_params, make_apply_fn
+from convdr_tpu.core.loading import (
+    gelu_arch_overrides,
+    load_model_and_params,
+    make_apply_fn,
+)
 from convdr_tpu.core.registry import MODEL_REGISTRY
 from convdr_tpu.data.conv_dataset import RESPONSE_TOKEN
 from convdr_tpu.parallel.mesh import get_mesh
@@ -67,6 +71,10 @@ def get_arguments(argv=None):
     )
     parser.add_argument("--dtype", default="float32",
                         choices=["float32", "bfloat16"])
+    parser.add_argument("--gelu", default="auto",
+                        choices=["auto", "erf", "tanh"],
+                        help="GELU flavor; auto = tanh under bf16 (~20%% "
+                        "faster, inside bf16 noise), erf under f32")
     parser.add_argument("--export_torch", action="store_true",
                         help="also export final models in the reference HF format")
     parser.add_argument("--resume", action="store_true",
@@ -123,8 +131,10 @@ def main(argv=None):
 
     preset = "tiny" if args.arch_size == "tiny" else None
     teacher_path = args.teacher_model or args.model_name_or_path
+    gelu_overrides = gelu_arch_overrides(args.gelu, args.dtype)
     t_config, _t_tok, t_model, teacher_params = load_model_and_params(
-        args.model_type, teacher_path, dtype=dtype, arch_preset=preset
+        args.model_type, teacher_path, dtype=dtype, arch_preset=preset,
+        arch_overrides=gelu_overrides,
     )
     teacher_apply = make_apply_fn(t_model)
 
@@ -155,6 +165,7 @@ def main(argv=None):
         s_config, s_tok, s_model, s_params = load_model_and_params(
             args.model_type, path, dtype=dtype, extra_tokens=extra_tokens,
             seed=args.seed, arch_preset=preset,
+            arch_overrides=gelu_overrides,
         )
         student_config_cell["config"] = s_config
         return s_tok, make_apply_fn(s_model), s_params

@@ -100,7 +100,7 @@ class EncoderLayer(nn.Module):
         ff = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="intermediate")(
             hidden
         )
-        ff = nn.gelu(ff, approximate=False)
+        ff = nn.gelu(ff, approximate=cfg.gelu_approximate)
         ff = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output")(ff)
         ff = nn.Dropout(rate=cfg.hidden_dropout)(ff, deterministic=deterministic)
         hidden = nn.LayerNorm(

@@ -143,3 +143,35 @@ def test_jit_compiles_once(rng):
     e1 = encode(params, ids, mask)
     e2 = encode(params, ids, mask)
     np.testing.assert_allclose(np.asarray(e1), np.asarray(e2))
+
+
+def test_gelu_approximate_changes_outputs_slightly(rng):
+    """gelu_approximate swaps erf->tanh GELU: outputs differ but stay close."""
+    import dataclasses
+
+    cfg = tiny_model()
+    cfg_tanh = dataclasses.replace(
+        cfg, arch=dataclasses.replace(cfg.arch, gelu_approximate=True)
+    )
+    ids, mask = make_batch(rng)
+    params = AnceEncoder(config=cfg).init(jax.random.PRNGKey(0), ids, mask)
+    e_erf = np.asarray(
+        AnceEncoder(config=cfg).apply(params, ids, mask)
+    )
+    e_tanh = np.asarray(
+        AnceEncoder(config=cfg_tanh).apply(params, ids, mask)
+    )
+    assert not np.array_equal(e_erf, e_tanh)
+    rel = np.linalg.norm(e_erf - e_tanh) / np.linalg.norm(e_erf)
+    assert rel < 0.05
+
+
+def test_gelu_arch_overrides_resolution():
+    from convdr_tpu.core.loading import gelu_arch_overrides
+
+    assert gelu_arch_overrides("auto", "bfloat16") == {"gelu_approximate": True}
+    assert gelu_arch_overrides("auto", "float32") is None
+    assert gelu_arch_overrides("tanh", "float32") == {"gelu_approximate": True}
+    assert gelu_arch_overrides("erf", "bfloat16") is None
+    with pytest.raises(ValueError):
+        gelu_arch_overrides("gelu", "float32")
