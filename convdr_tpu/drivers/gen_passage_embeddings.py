@@ -26,7 +26,10 @@ from convdr_tpu.core.loading import (
 from convdr_tpu.core.registry import MODEL_REGISTRY
 from convdr_tpu.data.token_cache import TokenCache
 from convdr_tpu.parallel.mesh import get_mesh
-from convdr_tpu.retrieval.embed_corpus import generate_embeddings
+from convdr_tpu.retrieval.embed_corpus import (
+    default_length_buckets,
+    generate_embeddings,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -56,7 +59,24 @@ def get_arguments(argv=None):
                     help="tiny = miniature architecture for smoke tests")
     parser.add_argument("--no_mesh", action="store_true",
                         help="disable mesh sharding (single device)")
+    parser.add_argument("--length_buckets", default="auto",
+                        help="'auto' (64/128/.../record-length rungs), "
+                        "'none', or a comma list, e.g. 128,512; short "
+                        "passages encode at their rung instead of full "
+                        "padded length (same embeddings, less compute)")
     return parser.parse_args(argv)
+
+
+def resolve_length_buckets(spec: str, record_len: int, multi_chunk: bool):
+    """Parse the --length_buckets flag against the cache record length."""
+    if spec == "none" or (spec == "auto" and multi_chunk):
+        return None
+    if multi_chunk:
+        raise ValueError("--length_buckets does not apply to multi-chunk "
+                         "models (records are fixed-length chunk stacks)")
+    if spec == "auto":
+        return default_length_buckets(record_len)
+    return tuple(int(x) for x in spec.split(","))
 
 
 def main(argv=None):
@@ -67,12 +87,15 @@ def main(argv=None):
     args = get_arguments(argv)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     preset = "tiny" if args.arch_size == "tiny" else None
-    _, _, model, params = load_model_and_params(
+    config, _, model, params = load_model_and_params(
         args.model_type, args.checkpoint, dtype=dtype, arch_preset=preset,
         arch_overrides=gelu_arch_overrides(args.gelu, args.dtype),
     )
     apply_fn = make_apply_fn(model)
     cache = TokenCache(os.path.join(args.data_dir, "passages"))
+    buckets = resolve_length_buckets(
+        args.length_buckets, cache.max_seq_length, config.multi_chunk
+    )
     mesh = None
     batch = args.per_gpu_eval_batch_size
     if not args.no_mesh and len(jax.devices()) > 1:
@@ -86,6 +109,7 @@ def main(argv=None):
         batch_size=batch,
         num_blocks=args.num_blocks,
         mesh=mesh,
+        length_buckets=buckets,
     )
     logger.info("wrote %d embedding rows to %s", rows, args.output_dir)
     return rows

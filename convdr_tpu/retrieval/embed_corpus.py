@@ -18,6 +18,7 @@ block rows sharing the same token-cache offset
 
 from __future__ import annotations
 
+import functools
 import logging
 from typing import Callable, Optional
 
@@ -32,11 +33,17 @@ from convdr_tpu.retrieval.blocks import write_embedding_block
 logger = logging.getLogger(__name__)
 
 
+@functools.lru_cache(maxsize=None)
 def make_body_encode_fn(
     apply_fn: Callable, *, mesh: Optional[Mesh] = None, data_axis: str = "data",
     is_query: bool = False,
 ):
-    """Jit the corpus-side encoder; derive the mask on device from lengths."""
+    """Jit the corpus-side encoder; derive the mask on device from lengths.
+
+    Cached per (apply_fn, mesh, axis, side) so repeated
+    :func:`generate_embeddings` calls (multi-block runs, tests, notebooks)
+    reuse the compiled executables instead of re-jitting per call.
+    """
 
     def encode(params, ids, lengths):
         mask = (
@@ -54,6 +61,89 @@ def make_body_encode_fn(
     )
 
 
+def default_length_buckets(max_seq_length: int) -> tuple:
+    """Sequence-length buckets for :func:`generate_embeddings`.
+
+    Fixed 128-step rungs (+ a 64 rung for short passages: MS MARCO averages
+    ~70 tokens) capped by the cache record length; a handful of rungs keeps
+    the number of compiled programs small while cutting the padding FLOPs
+    the reference always pays (it pads every document to max_seq_length,
+    gen_passage_embeddings.py:104-112 via GetProcessingFn's fixed pad).
+    """
+    rungs = [b for b in (64, 128, 256, 384) if b < max_seq_length]
+    return tuple(rungs) + (max_seq_length,)
+
+
+class _BucketBuffer:
+    """Accumulates rows per length bucket; flushes fixed-shape batches.
+
+    Each bucket flushes at a constant token budget (``batch_size`` rows at
+    the top rung): shorter rungs take proportionally more rows per batch,
+    which keeps activation memory flat, feeds the MXU full tiles at short
+    sequence lengths, and cuts dispatch count.
+    """
+
+    def __init__(self, buckets, batch_size: int):
+        self.buckets = tuple(sorted(buckets))
+        top = self.buckets[-1]
+        self.batch_sizes = {
+            b: batch_size * (top // b) for b in self.buckets
+        }
+        self._rows = {b: [] for b in self.buckets}  # (ids, lens, offsets)
+
+    def add(self, ids: np.ndarray, lens: np.ndarray, offsets: np.ndarray):
+        """Route rows to buckets; yield (bucket, ids, lens, offsets) batches."""
+        bidx = np.searchsorted(np.asarray(self.buckets), lens, side="left")
+        # rows longer than the top rung land in it (truncation = the cache
+        # writer's own clamp semantics); normally the top rung >= record len
+        bidx = np.minimum(bidx, len(self.buckets) - 1)
+        for j, bucket in enumerate(self.buckets):
+            sel = bidx == j
+            if not sel.any():
+                continue
+            self._rows[bucket].append(
+                (ids[sel, :bucket], lens[sel], offsets[sel])
+            )
+            yield from self._drain(bucket, full_only=True)
+
+    def flush(self):
+        """Yield the remaining partial batches, padded to batch_size."""
+        for bucket in self.buckets:
+            yield from self._drain(bucket, full_only=False)
+
+    def _drain(self, bucket: int, *, full_only: bool):
+        batch_size = self.batch_sizes[bucket]
+        rows = self._rows[bucket]
+        n = sum(r[0].shape[0] for r in rows)
+        if n == 0 or (full_only and n < batch_size):
+            return
+        ids = np.concatenate([r[0] for r in rows], axis=0)
+        lens = np.concatenate([r[1] for r in rows], axis=0)
+        offsets = np.concatenate([r[2] for r in rows], axis=0)
+        pos = 0
+        while n - pos >= batch_size:
+            sl = slice(pos, pos + batch_size)
+            yield bucket, ids[sl], lens[sl], offsets[sl]
+            pos += batch_size
+        rest = n - pos
+        if full_only:
+            self._rows[bucket] = (
+                [(ids[pos:], lens[pos:], offsets[pos:])] if rest else []
+            )
+            return
+        self._rows[bucket] = []
+        if rest:
+            pad = batch_size - rest
+            yield (
+                bucket,
+                np.concatenate([ids[pos:], np.repeat(ids[-1:], pad, 0)], 0),
+                np.concatenate([lens[pos:], np.repeat(lens[-1:], pad, 0)], 0),
+                np.concatenate(
+                    [offsets[pos:], np.full(pad, -1, offsets.dtype)], 0
+                ),
+            )
+
+
 def generate_embeddings(
     apply_fn: Callable,
     params,
@@ -67,13 +157,31 @@ def generate_embeddings(
     is_query: bool = False,
     emb_prefix: str = "passage__emb_p_",
     embid_prefix: str = "passage__embid_p_",
+    length_buckets: Optional[tuple] = None,
 ) -> int:
     """Encode the whole cache into ``num_blocks`` reference-format blocks.
 
     Block ``b`` holds records ``i % num_blocks == b`` (the reference's
     per-rank round-robin split), each row tagged with its cache offset.
     Returns the total number of embedding rows written (chunks included).
+
+    ``length_buckets`` (ascending, last >= the cache record length) batches
+    records by length rung so short passages aren't encoded at full padded
+    length -- embeddings are unchanged (pads never influence valid tokens:
+    attention excludes them, pooling masks them, RoBERTa position ids come
+    from the mask) but real-corpus throughput rises by roughly the padding
+    ratio. Row order within a block follows flush order, not cache order;
+    consumers map rows through the block's offset array. Not applicable to
+    multi-chunk models (their records are C fixed-length chunks).
     """
+    if length_buckets is not None:
+        length_buckets = tuple(sorted(length_buckets))
+        if length_buckets[-1] < cache.max_seq_length:
+            raise ValueError(
+                f"top length bucket {length_buckets[-1]} is shorter than the "
+                f"cache record length {cache.max_seq_length}; rows would be "
+                "truncated"
+            )
     encode = make_body_encode_fn(
         apply_fn, mesh=mesh, data_axis=data_axis, is_query=is_query
     )
@@ -82,20 +190,42 @@ def generate_embeddings(
     for block_id in range(num_blocks):
         embs_out = []
         ids_out = []
-        for ids, lens, offsets in cache.iter_batches(
-            batch_size, shard_index=block_id, num_shards=num_blocks
-        ):
+
+        def run_batch(ids, lens, offsets):
             out = np.asarray(
                 encode(params, jnp.asarray(ids), jnp.asarray(lens))
             )
             valid = offsets >= 0
             if out.ndim == 3:  # multi-chunk [B, C, E] -> C rows per record
+                if length_buckets is not None:
+                    raise ValueError(
+                        "length_buckets is incompatible with multi-chunk "
+                        "models (records are fixed-length chunk stacks)"
+                    )
                 for chunk in range(out.shape[1]):
                     embs_out.append(out[valid, chunk, :])
                     ids_out.append(offsets[valid])
             else:
                 embs_out.append(out[valid])
                 ids_out.append(offsets[valid])
+
+        if length_buckets is None:
+            for ids, lens, offsets in cache.iter_batches(
+                batch_size, shard_index=block_id, num_shards=num_blocks
+            ):
+                run_batch(ids, lens, offsets)
+        else:
+            buf = _BucketBuffer(length_buckets, batch_size)
+            for ids, lens, offsets in cache.iter_batches(
+                batch_size, shard_index=block_id, num_shards=num_blocks
+            ):
+                valid = offsets >= 0
+                for _b, bids, blens, boffs in buf.add(
+                    ids[valid], lens[valid], offsets[valid]
+                ):
+                    run_batch(bids, blens, boffs)
+            for _b, bids, blens, boffs in buf.flush():
+                run_batch(bids, blens, boffs)
         if embs_out:
             block_embs = np.concatenate(embs_out, axis=0)
             emb_dim = block_embs.shape[-1]

@@ -260,3 +260,59 @@ def test_embed_pipeline_mesh_path(pipeline):
     for emb, ids in ((ref_emb0, ref_ids0), (ref_emb1, ref_ids1)):
         for e, i in zip(emb, ids):
             np.testing.assert_allclose(by_offset[int(i)], e, atol=1e-5)
+
+
+def test_embed_pipeline_length_buckets(pipeline):
+    """Bucketed encode matches full-padded encode row-for-row by offset."""
+    from convdr_tpu.retrieval.blocks import load_embedding_block
+    from convdr_tpu.retrieval.embed_corpus import default_length_buckets
+
+    cache = TokenCache(str(pipeline["processed"] / "passages"))
+    out = str(pipeline["work"] / "bucket_embeddings")
+    buckets = default_length_buckets(cache.max_seq_length)
+    assert buckets[-1] == cache.max_seq_length
+    rows = generate_embeddings(
+        pipeline["apply_fn"], pipeline["params"], cache, out,
+        batch_size=8, num_blocks=1, length_buckets=buckets,
+    )
+    assert rows == N_PASSAGES
+    b_emb, b_ids = load_embedding_block(out, 0)
+    assert sorted(int(i) for i in b_ids) == list(range(N_PASSAGES))
+    by_offset = {int(i): e for e, i in zip(b_emb, b_ids)}
+    for block in (0, 1):
+        emb, ids = load_embedding_block(str(pipeline["embeddings"]), block)
+        for e, i in zip(emb, ids):
+            np.testing.assert_allclose(by_offset[int(i)], e, atol=1e-5)
+
+
+def test_length_buckets_validation(pipeline):
+    cache = TokenCache(str(pipeline["processed"] / "passages"))
+    with pytest.raises(ValueError, match="truncated"):
+        generate_embeddings(
+            pipeline["apply_fn"], pipeline["params"], cache,
+            str(pipeline["work"] / "bad_buckets"),
+            batch_size=8, length_buckets=(8,),
+        )
+
+
+def test_bucket_buffer_routing():
+    from convdr_tpu.retrieval.embed_corpus import _BucketBuffer
+
+    rng = np.random.RandomState(0)
+    n, width = 53, 32
+    ids = rng.randint(1, 99, size=(n, width)).astype(np.int32)
+    lens = rng.randint(1, width + 1, size=n)
+    offsets = np.arange(n, dtype=np.int64)
+    buf = _BucketBuffer((8, 16, 32), batch_size=4)
+    seen = {}
+    batches = list(buf.add(ids, lens, offsets)) + list(buf.flush())
+    for bucket, bids, blens, boffs in batches:
+        # constant token budget: shorter rungs carry more rows per batch
+        assert bids.shape == (4 * (32 // bucket), bucket)
+        for row, ln, off in zip(bids, blens, boffs):
+            if off < 0:
+                continue  # flush padding
+            assert ln <= bucket
+            np.testing.assert_array_equal(row, ids[off, :bucket])
+            seen[int(off)] = True
+    assert sorted(seen) == list(range(n))
