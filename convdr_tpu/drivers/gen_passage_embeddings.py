@@ -59,6 +59,11 @@ def get_arguments(argv=None):
                     help="tiny = miniature architecture for smoke tests")
     parser.add_argument("--no_mesh", action="store_true",
                         help="disable mesh sharding (single device)")
+    parser.add_argument("--block_format", default="pickle",
+                        choices=["pickle", "native"],
+                        help="block file format: 'pickle' = reference-"
+                        "compatible .pb pairs; 'native' = C++ block store "
+                        ".cnb (faster multithreaded load at serving time)")
     parser.add_argument("--length_buckets", default="auto",
                         help="'auto' (64/128/.../record-length rungs), "
                         "'none', or a comma list, e.g. 128,512; short "
@@ -110,6 +115,7 @@ def main(argv=None):
         num_blocks=args.num_blocks,
         mesh=mesh,
         length_buckets=buckets,
+        block_format=args.block_format,
     )
     logger.info("wrote %d embedding rows to %s", rows, args.output_dir)
     return rows

@@ -158,6 +158,7 @@ def generate_embeddings(
     emb_prefix: str = "passage__emb_p_",
     embid_prefix: str = "passage__embid_p_",
     length_buckets: Optional[tuple] = None,
+    block_format: str = "pickle",
 ) -> int:
     """Encode the whole cache into ``num_blocks`` reference-format blocks.
 
@@ -243,6 +244,7 @@ def generate_embeddings(
             block_ids,
             emb_prefix=emb_prefix,
             embid_prefix=embid_prefix,
+            fmt=block_format,
         )
         total_rows += block_embs.shape[0]
         logger.info(
