@@ -81,7 +81,15 @@ def resolve_length_buckets(spec: str, record_len: int, multi_chunk: bool):
                          "models (records are fixed-length chunk stacks)")
     if spec == "auto":
         return default_length_buckets(record_len)
-    return tuple(int(x) for x in spec.split(","))
+    try:
+        buckets = tuple(sorted({int(x) for x in spec.split(",")}))
+    except ValueError as e:
+        raise ValueError(f"bad --length_buckets {spec!r}: {e}") from e
+    if not buckets or buckets[0] < 1:
+        raise ValueError(
+            f"--length_buckets {spec!r}: rungs must be positive integers"
+        )
+    return buckets
 
 
 def main(argv=None):

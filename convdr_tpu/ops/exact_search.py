@@ -216,6 +216,11 @@ def flat_ip_topk(
     ~1.7x faster matmul, scores off by ~2e-3 relative -- close ranks can
     swap; recall@k sets stay near-identical).
     """
+    if precision not in _PRECISIONS:
+        raise ValueError(
+            f"unknown matmul precision {precision!r}; choose one of "
+            f"{sorted(_PRECISIONS)} (SearchConfig.matmul_precision)"
+        )
     qn, d = queries.shape
     n = passages.shape[0]
     # A concrete negative valid_rows means "all rows valid": skip masking

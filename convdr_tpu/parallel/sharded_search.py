@@ -34,6 +34,7 @@ def sharded_flat_ip_topk(
     valid_rows: int = -1,
     block_rows: int = 65536,
     axis: str = "index",
+    precision: str = "highest",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Search a row-sharded passage matrix; returns replicated (scores, idx).
 
@@ -63,6 +64,7 @@ def sharded_flat_ip_topk(
             k,
             block_rows=min(block_rows, rows_per_shard),
             valid_rows=local_valid,
+            precision=precision,
         )
         row_ok = i >= 0
         s = jnp.where(row_ok, s, NEG_INF)

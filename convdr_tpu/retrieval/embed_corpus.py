@@ -33,7 +33,7 @@ from convdr_tpu.retrieval.blocks import write_embedding_block
 logger = logging.getLogger(__name__)
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=8)
 def make_body_encode_fn(
     apply_fn: Callable, *, mesh: Optional[Mesh] = None, data_axis: str = "data",
     is_query: bool = False,
@@ -42,7 +42,9 @@ def make_body_encode_fn(
 
     Cached per (apply_fn, mesh, axis, side) so repeated
     :func:`generate_embeddings` calls (multi-block runs, tests, notebooks)
-    reuse the compiled executables instead of re-jitting per call.
+    reuse the compiled executables instead of re-jitting per call. Bounded
+    (LRU of 8): every model reload creates a fresh ``apply_fn``, and an
+    unbounded cache would pin each one's executables forever.
     """
 
     def encode(params, ids, lengths):
@@ -92,11 +94,14 @@ class _BucketBuffer:
         self._rows = {b: [] for b in self.buckets}  # (ids, lens, offsets)
 
     def add(self, ids: np.ndarray, lens: np.ndarray, offsets: np.ndarray):
-        """Route rows to buckets; yield (bucket, ids, lens, offsets) batches."""
+        """Route rows to buckets; return full (bucket, ids, lens, offsets)
+        batches. Eager (a list, not a generator): buffer state must not
+        depend on how far a caller iterates."""
         bidx = np.searchsorted(np.asarray(self.buckets), lens, side="left")
         # rows longer than the top rung land in it (truncation = the cache
         # writer's own clamp semantics); normally the top rung >= record len
         bidx = np.minimum(bidx, len(self.buckets) - 1)
+        out = []
         for j, bucket in enumerate(self.buckets):
             sel = bidx == j
             if not sel.any():
@@ -104,44 +109,49 @@ class _BucketBuffer:
             self._rows[bucket].append(
                 (ids[sel, :bucket], lens[sel], offsets[sel])
             )
-            yield from self._drain(bucket, full_only=True)
+            out.extend(self._drain(bucket, full_only=True))
+        return out
 
     def flush(self):
-        """Yield the remaining partial batches, padded to batch_size."""
+        """Return the remaining partial batches, padded to batch_size."""
+        out = []
         for bucket in self.buckets:
-            yield from self._drain(bucket, full_only=False)
+            out.extend(self._drain(bucket, full_only=False))
+        return out
 
     def _drain(self, bucket: int, *, full_only: bool):
         batch_size = self.batch_sizes[bucket]
         rows = self._rows[bucket]
         n = sum(r[0].shape[0] for r in rows)
         if n == 0 or (full_only and n < batch_size):
-            return
+            return []
         ids = np.concatenate([r[0] for r in rows], axis=0)
         lens = np.concatenate([r[1] for r in rows], axis=0)
         offsets = np.concatenate([r[2] for r in rows], axis=0)
+        out = []
         pos = 0
         while n - pos >= batch_size:
             sl = slice(pos, pos + batch_size)
-            yield bucket, ids[sl], lens[sl], offsets[sl]
+            out.append((bucket, ids[sl], lens[sl], offsets[sl]))
             pos += batch_size
         rest = n - pos
         if full_only:
             self._rows[bucket] = (
                 [(ids[pos:], lens[pos:], offsets[pos:])] if rest else []
             )
-            return
+            return out
         self._rows[bucket] = []
         if rest:
             pad = batch_size - rest
-            yield (
+            out.append((
                 bucket,
                 np.concatenate([ids[pos:], np.repeat(ids[-1:], pad, 0)], 0),
                 np.concatenate([lens[pos:], np.repeat(lens[-1:], pad, 0)], 0),
                 np.concatenate(
                     [offsets[pos:], np.full(pad, -1, offsets.dtype)], 0
                 ),
-            )
+            ))
+        return out
 
 
 def generate_embeddings(

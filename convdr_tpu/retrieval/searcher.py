@@ -84,6 +84,7 @@ class BlockedSearcher:
                 valid_rows=n,
                 block_rows=self.config.passage_block_size,
                 axis=self.index_axis,
+                precision=self.config.matmul_precision,
             )
         else:
             s, i = flat_ip_topk(

@@ -339,3 +339,21 @@ def test_09_no_mse_ranking_driver(workdir):
             open(workdir / "nomse_model" / "metrics.jsonl")]
     assert all("mse_loss" not in r for r in recs)
     assert any("ranking_loss" in r for r in recs)
+
+
+def test_resolve_length_buckets_validation():
+    import pytest
+
+    from convdr_tpu.drivers.gen_passage_embeddings import (
+        resolve_length_buckets,
+    )
+
+    assert resolve_length_buckets("128,512", 512, False) == (128, 512)
+    assert resolve_length_buckets("none", 512, False) is None
+    assert resolve_length_buckets("auto", 512, True) is None
+    with pytest.raises(ValueError, match="length_buckets"):
+        resolve_length_buckets("0,512", 512, False)
+    with pytest.raises(ValueError, match="length_buckets"):
+        resolve_length_buckets("", 512, False)
+    with pytest.raises(ValueError, match="multi-chunk"):
+        resolve_length_buckets("128,512", 512, True)

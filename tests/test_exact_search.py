@@ -140,3 +140,15 @@ def test_sharded_k_larger_than_shard(rng):
     s, i = sharded_flat_ip_topk(mesh, jnp.asarray(q), jnp.asarray(p), 20)
     # slots beyond n are -1-padded in both
     np.testing.assert_array_equal(np.asarray(i), oi)
+
+
+def test_invalid_precision_raises_clearly():
+    import numpy as np
+    import pytest
+
+    from convdr_tpu.ops.exact_search import flat_ip_topk
+
+    q = np.ones((2, 8), np.float32)
+    p = np.ones((16, 8), np.float32)
+    with pytest.raises(ValueError, match="matmul precision"):
+        flat_ip_topk(q, p, 4, precision="bf16")
