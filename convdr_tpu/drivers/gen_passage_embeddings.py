@@ -72,13 +72,20 @@ def get_arguments(argv=None):
     return parser.parse_args(argv)
 
 
-def resolve_length_buckets(spec: str, record_len: int, multi_chunk: bool):
-    """Parse the --length_buckets flag against the cache record length."""
+def resolve_length_buckets(spec: str, record_len: int, multi_chunk: bool,
+                           chunk_len: int = 512):
+    """Parse the --length_buckets flag against the cache record length.
+
+    Multi-chunk models accept only chunk-multiple rungs (an explicit spec
+    like ``512,1024,2048``): a record at rung ``c*chunk_len`` encodes only
+    its first ``c`` chunks, skipping the all-pad chunks the reference
+    encodes and indexes as garbage rows (gen_passage_embeddings.py:117-123)
+    -- fewer index rows and faster encode; retrieval can only improve since
+    dropped rows carry no signal. 'auto' stays off for multi-chunk (index
+    row parity with the reference).
+    """
     if spec == "none" or (spec == "auto" and multi_chunk):
         return None
-    if multi_chunk:
-        raise ValueError("--length_buckets does not apply to multi-chunk "
-                         "models (records are fixed-length chunk stacks)")
     if spec == "auto":
         return default_length_buckets(record_len)
     try:
@@ -88,6 +95,11 @@ def resolve_length_buckets(spec: str, record_len: int, multi_chunk: bool):
     if not buckets or buckets[0] < 1:
         raise ValueError(
             f"--length_buckets {spec!r}: rungs must be positive integers"
+        )
+    if multi_chunk and any(b % chunk_len for b in buckets):
+        raise ValueError(
+            f"--length_buckets {spec!r}: multi-chunk rungs must be "
+            f"multiples of chunk_len={chunk_len}"
         )
     return buckets
 
@@ -107,7 +119,8 @@ def main(argv=None):
     apply_fn = make_apply_fn(model)
     cache = TokenCache(os.path.join(args.data_dir, "passages"))
     buckets = resolve_length_buckets(
-        args.length_buckets, cache.max_seq_length, config.multi_chunk
+        args.length_buckets, cache.max_seq_length, config.multi_chunk,
+        config.chunk_len,
     )
     mesh = None
     batch = args.per_gpu_eval_batch_size

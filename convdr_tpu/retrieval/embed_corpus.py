@@ -182,8 +182,9 @@ def generate_embeddings(
     attention excludes them, pooling masks them, RoBERTa position ids come
     from the mask) but real-corpus throughput rises by roughly the padding
     ratio. Row order within a block follows flush order, not cache order;
-    consumers map rows through the block's offset array. Not applicable to
-    multi-chunk models (their records are C fixed-length chunks).
+    consumers map rows through the block's offset array. For multi-chunk
+    models pass chunk-multiple rungs (each record encodes only the chunks
+    its rung covers; empty chunks are skipped instead of indexed).
     """
     if length_buckets is not None:
         length_buckets = tuple(sorted(length_buckets))
@@ -207,12 +208,10 @@ def generate_embeddings(
                 encode(params, jnp.asarray(ids), jnp.asarray(lens))
             )
             valid = offsets >= 0
-            if out.ndim == 3:  # multi-chunk [B, C, E] -> C rows per record
-                if length_buckets is not None:
-                    raise ValueError(
-                        "length_buckets is incompatible with multi-chunk "
-                        "models (records are fixed-length chunk stacks)"
-                    )
+            # multi-chunk [B, C, E] -> C rows per record. Under length
+            # buckets C = rung // chunk_len, so short documents emit only
+            # their valid chunks (the reference indexes the all-pad ones).
+            if out.ndim == 3:
                 for chunk in range(out.shape[1]):
                     embs_out.append(out[valid, chunk, :])
                     ids_out.append(offsets[valid])

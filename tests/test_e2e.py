@@ -316,3 +316,56 @@ def test_bucket_buffer_routing():
             np.testing.assert_array_equal(row, ids[off, :bucket])
             seen[int(off)] = True
     assert sorted(seen) == list(range(n))
+
+
+def test_embed_multi_chunk_length_buckets():
+    """Chunk-rung buckets skip empty chunks; kept rows match unbucketed."""
+    import tempfile
+
+    from convdr_tpu.core.config import EncoderArchConfig, ModelConfig
+    from convdr_tpu.core.loading import make_apply_fn
+    from convdr_tpu.data.token_cache import TokenCacheWriter
+    from convdr_tpu.models.encoders import build_model
+    from convdr_tpu.retrieval.blocks import load_embedding_block
+
+    chunk_len, n_chunks = 16, 4
+    record_len = chunk_len * n_chunks
+    work = tempfile.mkdtemp()
+    rng = np.random.RandomState(3)
+    writer = TokenCacheWriter(os.path.join(work, "passages"), record_len)
+    lens = [5, 16, 20, 40, 64, 33, 7, 50, 12, 17]
+    for ln in lens:
+        writer.write(rng.randint(4, 60, size=ln), length=ln)
+    writer.close()
+    cache = TokenCache(os.path.join(work, "passages"))
+
+    cfg = ModelConfig(
+        name="mc", arch=EncoderArchConfig.tiny(vocab_size=64),
+        embedding_dim=16, multi_chunk=True, chunk_len=chunk_len,
+    )
+    model = build_model(cfg)
+    ids = jnp.ones((1, record_len), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids, jnp.ones_like(ids))
+    apply_fn = make_apply_fn(model)
+
+    full_dir = os.path.join(work, "full")
+    generate_embeddings(apply_fn, params, cache, full_dir, batch_size=4)
+    buckets = tuple(chunk_len * c for c in range(1, n_chunks + 1))
+    bdir = os.path.join(work, "bucketed")
+    generate_embeddings(apply_fn, params, cache, bdir, batch_size=4,
+                        length_buckets=buckets)
+
+    f_emb, f_ids = load_embedding_block(full_dir, 0)
+    b_emb, b_ids = load_embedding_block(bdir, 0)
+    # full: every record emits n_chunks rows; bucketed: only valid chunks
+    assert len(f_ids) == len(lens) * n_chunks
+    expected = sum(-(-ln // chunk_len) for ln in lens)
+    assert len(b_ids) == expected
+    # every bucketed row must equal one full-path row with the same offset
+    full_rows = {}
+    for e, off in zip(f_emb, f_ids):
+        full_rows.setdefault(int(off), []).append(e)
+    for e, off in zip(b_emb, b_ids):
+        assert any(
+            np.allclose(e, cand, atol=1e-5) for cand in full_rows[int(off)]
+        ), f"bucketed row for offset {off} not found in full encode"
