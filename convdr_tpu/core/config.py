@@ -125,6 +125,13 @@ class TrainConfig:
     # (run_convdr_train.py:107); off by default here (deterministic KD is
     # usually at least as good and keeps the step fully reproducible).
     use_dropout: bool = False
+    # Ranking-doc length rungs: each batch's doc tensor is trimmed to the
+    # smallest rung covering its longest document (one jit specialization
+    # per rung). Teacher doc embeddings are unchanged -- pads never reach
+    # valid tokens -- but short-doc corpora skip most of the doc-encode
+    # FLOPs, the dominant cost of a ranking step. None = fixed
+    # max_doc_length (reference behavior).
+    doc_length_buckets: Optional[Tuple[int, ...]] = None
 
 
 @dataclasses.dataclass(frozen=True)

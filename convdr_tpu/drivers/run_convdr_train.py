@@ -71,6 +71,12 @@ def get_arguments(argv=None):
     )
     parser.add_argument("--dtype", default="float32",
                         choices=["float32", "bfloat16"])
+    parser.add_argument("--doc_length_buckets", default="auto",
+                        choices=["auto", "none"],
+                        help="trim each ranking-doc batch to the smallest "
+                        "64/128/256/384/512 rung covering its longest doc "
+                        "(same embeddings, far fewer doc-encode FLOPs); "
+                        "'none' keeps fixed max_doc_length")
     parser.add_argument("--gelu", default="auto",
                         choices=["auto", "erf", "tanh"],
                         help="GELU flavor; auto = tanh under bf16 (~20%% "
@@ -127,6 +133,15 @@ def main(argv=None):
         log_steps=args.log_steps,
         save_steps=args.save_steps,
         use_dropout=args.use_dropout,
+        doc_length_buckets=(
+            # rungs up to TrainConfig.max_doc_length (512, reference value)
+            tuple(
+                b for b in (64, 128, 256, 384, 512)
+                if b <= TrainConfig.max_doc_length
+            )
+            if args.ranking_task and args.doc_length_buckets == "auto"
+            else None
+        ),
     )
 
     preset = "tiny" if args.arch_size == "tiny" else None

@@ -44,7 +44,8 @@ def _device_batch(batch: Dict, config: TrainConfig, doc_cache, rng):
     }
     if config.ranking_task:
         doc_ids, doc_mask = sample_ranking_batch(
-            batch["documents"], doc_cache, config.num_negatives, rng
+            batch["documents"], doc_cache, config.num_negatives, rng,
+            length_rungs=config.doc_length_buckets,
         )
         out["doc_ids"] = jnp.asarray(doc_ids)
         out["doc_mask"] = jnp.asarray(doc_mask)

@@ -16,7 +16,7 @@ moves the dynamic work to the input pipeline:
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -72,6 +72,7 @@ def sample_ranking_batch(
     doc_cache: DocumentTokenizerCache,
     num_negatives: int,
     rng: np.random.RandomState,
+    length_rungs: Optional[Sequence[int]] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """[B][1+M docs text] -> (doc_ids, doc_mask) [B, 1+num_negatives, L].
 
@@ -79,6 +80,11 @@ def sample_ranking_batch(
     the remaining candidates is drawn per call (per step, like
     run_convdr_train.py:123). Groups short on negatives are topped up by
     sampling with replacement.
+
+    ``length_rungs`` trims ``L`` to the smallest rung covering the batch's
+    longest document (rungs ascending; the top rung must be
+    ``max_doc_length``). Doc embeddings are unchanged -- pads never reach
+    valid tokens -- and the jitted step specializes once per rung.
     """
     b = len(documents)
     k = num_negatives + 1
@@ -98,4 +104,9 @@ def sample_ranking_batch(
             d_ids, d_mask = doc_cache.encode(doc)
             ids[bi, ki] = d_ids
             mask[bi, ki] = d_mask
+    if length_rungs:
+        longest = int(mask.sum(axis=-1).max())
+        rung = next((r for r in sorted(length_rungs) if r >= longest), length)
+        ids = ids[:, :, :rung]
+        mask = mask[:, :, :rung]
     return ids, mask

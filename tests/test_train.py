@@ -311,3 +311,26 @@ def test_in_batch_nll_multichunk_masks_empty_chunks():
     loss = float(in_batch_nll_multichunk_loss(q, pos, pos_mask, neg, neg_mask, 4))
     # logits [1, -1]: loss = -log softmax -> log(1 + e^-2)
     np.testing.assert_allclose(loss, np.log(1 + np.exp(-2.0)), rtol=1e-5)
+
+
+def test_sample_ranking_batch_length_rungs():
+    """Rung trimming keeps content and masks; width = smallest covering rung."""
+    from convdr_tpu.data.tokenizers import ByteLevelBPETokenizer
+
+    tok = ByteLevelBPETokenizer.tiny()
+    cache = DocumentTokenizerCache(tok, max_doc_length=32)
+    docs = [["short pos", "neg one", "neg two"],
+            ["another positive doc", "n1", "n2"]]
+    rng = np.random.RandomState(0)
+    full_ids, full_mask = sample_ranking_batch(docs, cache, 2, rng)
+    rng = np.random.RandomState(0)
+    ids, mask = sample_ranking_batch(docs, cache, 2, rng,
+                                     length_rungs=(8, 16, 32))
+    assert ids.shape[2] in (8, 16, 32) and ids.shape[2] < 32 or \
+        int(full_mask.sum(-1).max()) > 16
+    w = ids.shape[2]
+    assert int(full_mask.sum(-1).max()) <= w
+    np.testing.assert_array_equal(ids, full_ids[:, :, :w])
+    np.testing.assert_array_equal(mask, full_mask[:, :, :w])
+    # no valid tokens beyond the rung
+    assert int(full_mask[:, :, w:].sum()) == 0
