@@ -63,6 +63,15 @@ class BlockedSearcher:
         self, query_embs: np.ndarray, block_embs: np.ndarray, top_n: int
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Top-N of one block; returns (scores, local row indices)."""
+        s, i = self._search_block_device(query_embs, block_embs, top_n)
+        return np.asarray(s), np.asarray(i)
+
+    def _search_block_device(
+        self, query_embs: np.ndarray, block_embs: np.ndarray, top_n: int
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Device-array variant of :meth:`search_block`: no host sync, so
+        the block-streaming loop pipelines the next block's HBM upload
+        behind the current search."""
         n = block_embs.shape[0]
         padded_n = self._bucket_rows(n)
         storage_dtype = jnp.dtype(self.config.storage_dtype)
@@ -95,7 +104,7 @@ class BlockedSearcher:
                 valid_rows=n,
                 precision=self.config.matmul_precision,
             )
-        return np.asarray(s), np.asarray(i)
+        return s, i
 
     def search_blocks(
         self,
@@ -109,35 +118,40 @@ class BlockedSearcher:
         merged_s: Optional[jnp.ndarray] = None
         merged_i: Optional[jnp.ndarray] = None
         qn = query_embs.shape[0]
-        n_blocks = 0
+        t_start = time.time()
         for block_id, emb, emb2offset in iter_embedding_blocks(ann_data_dir):
-            n_blocks += 1
             if emb.shape[0] == 0:
                 logger.info("block %d is empty; skipping", block_id)
                 continue
             logger.info(
                 "searching block %d: %s passages", block_id, emb.shape[0]
             )
-            ts = time.time()
-            s, i = self.search_block(query_embs, emb, top_n)
-            elapsed = time.time() - ts
-            logger.info(
-                "block %d search: total=%.4fs queries=%d per_query=%.6fs",
-                block_id, elapsed, qn, elapsed / max(qn, 1),
+            # Everything below is async device work: block b+1's HBM upload
+            # overlaps block b's search; the only host sync is the final
+            # materialization after all blocks.
+            s, i = self._search_block_device(query_embs, emb, top_n)
+            # local row -> token-cache offset on device; -1 rows stay -1
+            offs = jnp.take(
+                jnp.asarray(emb2offset.astype(np.int64)),
+                jnp.clip(i, 0, None),
+                axis=0,
             )
-            # local row -> token-cache offset; -1 rows stay -1
-            offsets = np.where(i >= 0, emb2offset[np.clip(i, 0, None)], -1)
-            s_j, o_j = jnp.asarray(s), jnp.asarray(offsets.astype(np.int64))
+            o_j = jnp.where(i >= 0, offs, -1)
             if merged_s is None:
-                merged_s, merged_i = s_j, o_j
+                merged_s, merged_i = s, o_j
             else:
                 merged_s, merged_i = merge_topk(
-                    merged_s, merged_i, s_j, o_j, top_n
+                    merged_s, merged_i, s, o_j, top_n
                 )
         if merged_s is None:
             raise FileNotFoundError(f"No embedding blocks found in {ann_data_dir}")
         out_s = np.asarray(merged_s)
         out_i = np.asarray(merged_i)
+        elapsed = time.time() - t_start
+        logger.info(
+            "search: total=%.4fs queries=%d per_query=%.6fs",
+            elapsed, qn, elapsed / max(qn, 1),
+        )
         out_i = np.where(out_s <= NEG_INF, -1, out_i)
         return out_s, out_i
 
