@@ -135,3 +135,39 @@ def test_write_run_outputs(tmp_path):
     assert rec["input"] == ["q1"]
     trec_lines = open(trec).read().strip().split("\n")
     assert trec_lines[0] == "31_1 Q0 12 1 199 ance"
+
+
+def test_multi_block_search_set_exactness_large():
+    """Large multi-block streamed search: recall sets equal the oracle.
+
+    Order may legitimately differ from the BLAS oracle for f32 near-ties
+    (true score gap < 1 ULP, seen from ~1e5 rows up), so this asserts SET
+    equality plus score agreement, the contract the smaller bit-exact tests
+    cannot cover (see CLAUDE.md perf facts).
+    """
+    import tempfile
+
+    import numpy as np
+
+    from convdr_tpu.core.config import SearchConfig
+    from convdr_tpu.ops.exact_search import topk_oracle
+    from convdr_tpu.retrieval.blocks import write_embedding_block
+    from convdr_tpu.retrieval.searcher import BlockedSearcher
+
+    rng = np.random.RandomState(7)
+    nb, rows, d, qn, k = 3, 20000, 96, 16, 100
+    blocks = [rng.randn(rows, d).astype(np.float32) for _ in range(nb)]
+    tmp = tempfile.mkdtemp()
+    for b, emb in enumerate(blocks):
+        write_embedding_block(
+            tmp, b, emb, np.arange(b * rows, (b + 1) * rows)
+        )
+    q = rng.randn(qn, d).astype(np.float32)
+    s, i = BlockedSearcher(SearchConfig(passage_block_size=8192)).search_blocks(
+        tmp, q, k
+    )
+    os_, oi = topk_oracle(q, np.concatenate(blocks, 0), k)
+    for qi in range(qn):
+        assert set(i[qi].tolist()) == set(oi[qi].tolist())
+    np.testing.assert_allclose(np.sort(s, axis=1), np.sort(os_, axis=1),
+                               rtol=1e-6)
