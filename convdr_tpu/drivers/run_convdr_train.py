@@ -12,6 +12,7 @@ for teachers/students; export with --export_torch).
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import logging
 import os
 
@@ -28,6 +29,7 @@ from convdr_tpu.core.loading import (
 from convdr_tpu.core.registry import MODEL_REGISTRY
 from convdr_tpu.data.conv_dataset import RESPONSE_TOKEN
 from convdr_tpu.parallel.mesh import get_mesh
+from convdr_tpu.retrieval.embed_corpus import default_length_buckets
 from convdr_tpu.train.checkpoint import save_checkpoint
 from convdr_tpu.train.loop import run_training
 
@@ -133,16 +135,19 @@ def main(argv=None):
         log_steps=args.log_steps,
         save_steps=args.save_steps,
         use_dropout=args.use_dropout,
-        doc_length_buckets=(
-            # rungs up to TrainConfig.max_doc_length (512, reference value)
-            tuple(
-                b for b in (64, 128, 256, 384, 512)
-                if b <= TrainConfig.max_doc_length
-            )
-            if args.ranking_task and args.doc_length_buckets == "auto"
-            else None
-        ),
     )
+    # Ranking-doc length rungs: same ladder as the corpus-embed path. Not
+    # for multi-chunk models -- their body_emb reshapes docs into
+    # chunk_len-wide chunks, so a rung below chunk_len would be malformed.
+    if (
+        args.ranking_task
+        and args.doc_length_buckets == "auto"
+        and not MODEL_REGISTRY[args.model_type].multi_chunk
+    ):
+        config = dataclasses.replace(
+            config,
+            doc_length_buckets=default_length_buckets(config.max_doc_length),
+        )
 
     preset = "tiny" if args.arch_size == "tiny" else None
     teacher_path = args.teacher_model or args.model_name_or_path

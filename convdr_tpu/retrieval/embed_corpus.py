@@ -209,12 +209,17 @@ def generate_embeddings(
             )
             valid = offsets >= 0
             # multi-chunk [B, C, E] -> C rows per record. Under length
-            # buckets C = rung // chunk_len, so short documents emit only
-            # their valid chunks (the reference indexes the all-pad ones).
+            # buckets only chunks covering real tokens are emitted, even
+            # when a sparse rung ladder leaves pad chunks inside the rung
+            # (the reference indexes every all-pad chunk as a garbage row).
             if out.ndim == 3:
+                chunk_len = ids.shape[1] // out.shape[1]
                 for chunk in range(out.shape[1]):
-                    embs_out.append(out[valid, chunk, :])
-                    ids_out.append(offsets[valid])
+                    keep = valid
+                    if length_buckets is not None:
+                        keep = valid & (lens > chunk * chunk_len)
+                    embs_out.append(out[keep, chunk, :])
+                    ids_out.append(offsets[keep])
             else:
                 embs_out.append(out[valid])
                 ids_out.append(offsets[valid])

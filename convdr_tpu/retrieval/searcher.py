@@ -19,6 +19,7 @@ import logging
 import time
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh
@@ -119,6 +120,7 @@ class BlockedSearcher:
         merged_i: Optional[jnp.ndarray] = None
         qn = query_embs.shape[0]
         t_start = time.time()
+        prev_merged: Optional[jnp.ndarray] = None  # pipeline depth bound
         for block_id, emb, emb2offset in iter_embedding_blocks(ann_data_dir):
             if emb.shape[0] == 0:
                 logger.info("block %d is empty; skipping", block_id)
@@ -126,9 +128,14 @@ class BlockedSearcher:
             logger.info(
                 "searching block %d: %s passages", block_id, emb.shape[0]
             )
-            # Everything below is async device work: block b+1's HBM upload
-            # overlaps block b's search; the only host sync is the final
-            # materialization after all blocks.
+            # Device work is async: block b's HBM upload overlaps block
+            # b-1's search. Backpressure: before enqueuing block b, block
+            # on the merge of block b-2 so at most ~2 block buffers are
+            # alive in HBM at once (unbounded enqueue could exhaust HBM
+            # when disk reads outpace the device).
+            if prev_merged is not None:
+                jax.block_until_ready(prev_merged)
+            prev_merged = merged_s
             s, i = self._search_block_device(query_embs, emb, top_n)
             # local row -> token-cache offset on device; -1 rows stay -1
             offs = jnp.take(

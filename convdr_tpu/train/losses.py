@@ -68,3 +68,29 @@ def in_batch_nll_multichunk_loss(
     s_neg = multi_chunk_scores(q_embs, neg_embs, neg_mask, chunk_len)
     logits = jnp.stack([s_pos, s_neg], axis=1)
     return -jnp.mean(jax.nn.log_softmax(logits, axis=1)[:, 0])
+
+
+def ranking_nll_multichunk_loss(
+    query_embs: jnp.ndarray,
+    doc_embs: jnp.ndarray,
+    doc_mask: jnp.ndarray,
+    chunk_len: int,
+) -> jnp.ndarray:
+    """Ranking CE with multi-chunk documents (positive at k=0).
+
+    query_embs [B, E]; doc_embs [B, K, C, E]; doc_mask [B, K, C*L]. Each
+    document scores as the max chunk inner product with the -9999 empty-
+    chunk bias (``NLL_MultiChunk``, models.py:100-118), then the reference
+    ranking task's CE with label 0 (run_convdr_train.py:162-170).
+    """
+    from convdr_tpu.models.encoders import multi_chunk_scores
+
+    doc_embs = jax.lax.stop_gradient(doc_embs)
+    b, k, c, e = doc_embs.shape
+    q_rep = jnp.repeat(query_embs, k, axis=0)  # [B*K, E]
+    scores = multi_chunk_scores(
+        q_rep, doc_embs.reshape(b * k, c, e),
+        doc_mask.reshape(b * k, -1), chunk_len,
+    ).reshape(b, k)
+    logprobs = jax.nn.log_softmax(scores, axis=-1)
+    return -jnp.mean(logprobs[:, 0])

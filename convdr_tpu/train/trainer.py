@@ -29,7 +29,11 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from convdr_tpu.core.config import TrainConfig
-from convdr_tpu.train.losses import kd_mse_loss, ranking_nll_loss
+from convdr_tpu.train.losses import (
+    kd_mse_loss,
+    ranking_nll_loss,
+    ranking_nll_multichunk_loss,
+)
 from convdr_tpu.train.optimizer import make_optimizer
 
 
@@ -109,8 +113,18 @@ def make_train_step(
                 batch["doc_mask"].reshape(b * k, l),
                 False,
             )
-            doc_embs = doc_embs.reshape(b, k, -1)
-            rank_loss = ranking_nll_loss(embs, doc_embs)
+            if doc_embs.ndim == 3:
+                # multi-chunk teacher: [B*K, C, E] -> max-over-chunk scores
+                # (NLL_MultiChunk semantics, models.py:100-118)
+                c = doc_embs.shape[1]
+                rank_loss = ranking_nll_multichunk_loss(
+                    embs,
+                    doc_embs.reshape(b, k, c, -1),
+                    batch["doc_mask"],
+                    l // c,
+                )
+            else:
+                rank_loss = ranking_nll_loss(embs, doc_embs.reshape(b, k, -1))
             loss = loss + rank_loss
             metrics["ranking_loss"] = rank_loss
         metrics["loss"] = loss

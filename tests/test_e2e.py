@@ -318,10 +318,8 @@ def test_bucket_buffer_routing():
     assert sorted(seen) == list(range(n))
 
 
-def test_embed_multi_chunk_length_buckets():
+def test_embed_multi_chunk_length_buckets(tmp_path):
     """Chunk-rung buckets skip empty chunks; kept rows match unbucketed."""
-    import tempfile
-
     from convdr_tpu.core.config import EncoderArchConfig, ModelConfig
     from convdr_tpu.core.loading import make_apply_fn
     from convdr_tpu.data.token_cache import TokenCacheWriter
@@ -330,7 +328,7 @@ def test_embed_multi_chunk_length_buckets():
 
     chunk_len, n_chunks = 16, 4
     record_len = chunk_len * n_chunks
-    work = tempfile.mkdtemp()
+    work = str(tmp_path)
     rng = np.random.RandomState(3)
     writer = TokenCacheWriter(os.path.join(work, "passages"), record_len)
     lens = [5, 16, 20, 40, 64, 33, 7, 50, 12, 17]
@@ -369,3 +367,11 @@ def test_embed_multi_chunk_length_buckets():
         assert any(
             np.allclose(e, cand, atol=1e-5) for cand in full_rows[int(off)]
         ), f"bucketed row for offset {off} not found in full encode"
+
+    # sparse ladder: a 5-token doc lands in the 2-chunk rung but still emits
+    # only its one valid chunk (no all-pad garbage row inside the rung)
+    sdir = os.path.join(work, "sparse")
+    generate_embeddings(apply_fn, params, cache, sdir, batch_size=4,
+                        length_buckets=(2 * chunk_len, record_len))
+    s_emb, s_ids = load_embedding_block(sdir, 0)
+    assert len(s_ids) == expected, (len(s_ids), expected)

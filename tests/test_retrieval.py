@@ -137,7 +137,7 @@ def test_write_run_outputs(tmp_path):
     assert trec_lines[0] == "31_1 Q0 12 1 199 ance"
 
 
-def test_multi_block_search_set_exactness_large():
+def test_multi_block_search_set_exactness_large(tmp_path):
     """Large multi-block streamed search: recall sets equal the oracle.
 
     Order may legitimately differ from the BLAS oracle for f32 near-ties
@@ -145,8 +145,6 @@ def test_multi_block_search_set_exactness_large():
     equality plus score agreement, the contract the smaller bit-exact tests
     cannot cover (see CLAUDE.md perf facts).
     """
-    import tempfile
-
     import numpy as np
 
     from convdr_tpu.core.config import SearchConfig
@@ -157,7 +155,7 @@ def test_multi_block_search_set_exactness_large():
     rng = np.random.RandomState(7)
     nb, rows, d, qn, k = 3, 20000, 96, 16, 100
     blocks = [rng.randn(rows, d).astype(np.float32) for _ in range(nb)]
-    tmp = tempfile.mkdtemp()
+    tmp = str(tmp_path)
     for b, emb in enumerate(blocks):
         write_embedding_block(
             tmp, b, emb, np.arange(b * rows, (b + 1) * rows)

@@ -318,19 +318,88 @@ def test_sample_ranking_batch_length_rungs():
     from convdr_tpu.data.tokenizers import ByteLevelBPETokenizer
 
     tok = ByteLevelBPETokenizer.tiny()
-    cache = DocumentTokenizerCache(tok, max_doc_length=32)
+    cache = DocumentTokenizerCache(tok, max_doc_length=64)
     docs = [["short pos", "neg one", "neg two"],
             ["another positive doc", "n1", "n2"]]
     rng = np.random.RandomState(0)
     full_ids, full_mask = sample_ranking_batch(docs, cache, 2, rng)
+    assert full_ids.shape[2] == 64
+    longest = int(full_mask.sum(-1).max())
+    assert longest <= 32, "fixture docs must be short enough to force a trim"
     rng = np.random.RandomState(0)
     ids, mask = sample_ranking_batch(docs, cache, 2, rng,
-                                     length_rungs=(8, 16, 32))
-    assert ids.shape[2] in (8, 16, 32) and ids.shape[2] < 32 or \
-        int(full_mask.sum(-1).max()) > 16
-    w = ids.shape[2]
-    assert int(full_mask.sum(-1).max()) <= w
-    np.testing.assert_array_equal(ids, full_ids[:, :, :w])
-    np.testing.assert_array_equal(mask, full_mask[:, :, :w])
-    # no valid tokens beyond the rung
-    assert int(full_mask[:, :, w:].sum()) == 0
+                                     length_rungs=(8, 16, 32, 64))
+    # exact rung: the smallest of the ladder covering the longest doc
+    expected_w = next(r for r in (8, 16, 32, 64) if r >= longest)
+    assert ids.shape[2] == expected_w < 64
+    np.testing.assert_array_equal(ids, full_ids[:, :, :expected_w])
+    np.testing.assert_array_equal(mask, full_mask[:, :, :expected_w])
+    # no valid tokens were cut off
+    assert int(full_mask[:, :, expected_w:].sum()) == 0
+    # a ladder whose top rung is below the longest doc falls back to full L
+    rng = np.random.RandomState(0)
+    ids2, _ = sample_ranking_batch(docs, cache, 2, rng,
+                                   length_rungs=(4,))
+    assert ids2.shape[2] == 64
+
+
+def test_ranking_nll_multichunk_loss_masks_empty_chunks():
+    from convdr_tpu.train.losses import ranking_nll_multichunk_loss
+
+    rng = np.random.RandomState(0)
+    b, k, c, e, L = 2, 3, 2, 8, 4
+    q = jnp.asarray(rng.randn(b, e).astype(np.float32))
+    docs = rng.randn(b, k, c, e).astype(np.float32)
+    # chunk 1 of every doc is empty; poison its embedding with huge values
+    docs_poison = docs.copy()
+    docs_poison[:, :, 1, :] = 1e3
+    mask = np.zeros((b, k, c * L), np.int32)
+    mask[:, :, :L] = 1  # only chunk 0 valid
+    l1 = ranking_nll_multichunk_loss(q, jnp.asarray(docs), jnp.asarray(mask), L)
+    l2 = ranking_nll_multichunk_loss(
+        q, jnp.asarray(docs_poison), jnp.asarray(mask), L
+    )
+    # empty-chunk scores are biased away: poisoned chunk must not matter
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    # but a valid chunk change must matter
+    docs2 = docs.copy(); docs2[:, :, 0, :] *= 2.0
+    l3 = ranking_nll_multichunk_loss(q, jnp.asarray(docs2), jnp.asarray(mask), L)
+    assert abs(float(l3) - float(l1)) > 1e-6
+
+
+def test_train_step_multichunk_ranking():
+    """KD+ranking step with a multi-chunk teacher compiles and is finite."""
+    import dataclasses
+
+    from convdr_tpu.core.config import EncoderArchConfig, ModelConfig
+    from convdr_tpu.core.loading import make_apply_fn
+    from convdr_tpu.models.encoders import build_model
+
+    chunk_len = 16
+    cfg = ModelConfig(
+        name="mc", arch=EncoderArchConfig.tiny(vocab_size=64),
+        embedding_dim=16, multi_chunk=True, chunk_len=chunk_len,
+    )
+    model = build_model(cfg)
+    rng = np.random.RandomState(0)
+    bs, concat, k, doclen = 2, 16, 3, chunk_len * 2
+    ids = jnp.asarray(rng.randint(4, 60, (bs, concat)), jnp.int32)
+    mask = jnp.ones((bs, concat), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids, mask)
+    teacher = model.init(jax.random.PRNGKey(1), ids, mask)
+    apply_fn = make_apply_fn(model)
+    afn = lambda p, i, m, q: apply_fn(p, i, m, q)  # noqa: E731
+    tcfg = TrainConfig(ranking_task=True, num_negatives=k - 1)
+    state, tx = create_train_state(params, tcfg, total_steps=10)
+    step = make_train_step(afn, afn, tx, tcfg)
+    doc_mask = np.zeros((bs, k, doclen), np.int32)
+    doc_mask[:, :, :chunk_len] = 1  # second chunk of every doc empty
+    batch = {
+        "concat_ids": ids, "concat_mask": mask,
+        "target_ids": ids, "target_mask": mask,
+        "doc_ids": jnp.asarray(rng.randint(4, 60, (bs, k, doclen)), jnp.int32),
+        "doc_mask": jnp.asarray(doc_mask),
+    }
+    state, metrics = step(state, teacher, batch)
+    assert np.isfinite(float(np.asarray(metrics["loss"])))
+    assert np.isfinite(float(np.asarray(metrics["ranking_loss"])))
