@@ -146,8 +146,6 @@ class SearchConfig:
     top_n: int = 100
     embedding_dim: int = 768
     passage_block_size: int = 65536  # passages per scan block on one device
-    query_tile: int = 256
-    score_dtype: str = "float32"
     storage_dtype: str = "float32"  # embedding block storage on HBM
     # "highest" = oracle-bit-exact (FAISS-parity); "high"/"default" trade
     # ~2e-3 score error for matmul speed (see ops/exact_search.py)

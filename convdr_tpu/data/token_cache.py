@@ -180,6 +180,15 @@ def load_offset2pid(processed_dir: str) -> list:
         return pickle.load(f)
 
 
+def load_query_id_maps(cache_base_path: str) -> Tuple[dict, list]:
+    """(qid2offset, offset2qid) persisted by ``tokenize_queries_file``."""
+    with open(cache_base_path + "_qid2offset.pickle", "rb") as f:
+        qid2offset = pickle.load(f)
+    with open(cache_base_path + "_offset2qid.pickle", "rb") as f:
+        offset2qid = pickle.load(f)
+    return qid2offset, offset2qid
+
+
 def attention_mask_from_lengths(lengths: np.ndarray, max_len: int) -> np.ndarray:
     """[B] lengths -> [B, L] 0/1 mask (host-side helper; on-device use jnp)."""
     return (np.arange(max_len)[None, :] < lengths[:, None]).astype(np.int32)

@@ -135,7 +135,12 @@ def tokenize_collection(
         for i in range(workers)
     ]
     if workers > 1:
-        with multiprocessing.Pool(workers) as pool:
+        # spawn, not fork: driver processes have usually initialized JAX by
+        # the time tokenization runs, and fork()ing a multithreaded JAX
+        # process is a documented deadlock hazard (the reference forks,
+        # utils/util.py:643-658, but never holds an accelerator runtime).
+        ctx = multiprocessing.get_context("spawn")
+        with ctx.Pool(workers) as pool:
             pool.map(_worker, jobs)
     else:
         for job in jobs:
@@ -172,7 +177,18 @@ def tokenize_queries_file(
     tokenizer,
     max_query_length: int = 64,
 ) -> int:
-    """qid\\tquery tsv -> query token cache (QueryPreprocessingFn parity)."""
+    """qid\\tquery tsv -> query token cache + persisted qid<->offset maps.
+
+    QueryPreprocessingFn parity (/root/reference/data/tokenizing.py:119-130)
+    with the reference's query id maps persisted alongside the cache
+    (tokenizing.py:58-75 writes the same maps for passages): the cache at
+    ``out_path`` gets ``<out_path>_qid2offset.pickle`` and
+    ``<out_path>_offset2qid.pickle`` siblings, so downstream consumers can
+    stream the cache and recover query ids (see
+    :func:`convdr_tpu.data.token_cache.load_query_id_maps`).
+    """
+    import pickle
+
     offset2qid: List[int] = []
     with TokenCacheWriter(out_path, max_query_length) as writer:
         with open(queries_path, encoding="utf-8") as f:
@@ -180,7 +196,7 @@ def tokenize_queries_file(
                 parts = line.strip().split("\t")
                 if len(parts) < 2:
                     continue
-                qid = int(parts[0])
+                qid = parts[0]
                 ids = tokenizer.encode(
                     parts[1].rstrip(),
                     add_special_tokens=True,
@@ -188,4 +204,8 @@ def tokenize_queries_file(
                 )
                 writer.write(ids)
                 offset2qid.append(qid)
+    with open(out_path + "_qid2offset.pickle", "wb") as f:
+        pickle.dump({q: i for i, q in enumerate(offset2qid)}, f, protocol=4)
+    with open(out_path + "_offset2qid.pickle", "wb") as f:
+        pickle.dump(offset2qid, f, protocol=4)
     return len(offset2qid)

@@ -61,7 +61,10 @@ def _truncate_longest_first(ids_a, ids_b, budget: int):
         return ids_a[:budget], None
     a, b = len(ids_a), len(ids_b)
     while a + b > budget:
-        if a >= b:
+        # HF truncate_sequences trims the PAIR on ties (`if len(ids) >
+        # len(pair_ids): ids.pop() else: pair_ids.pop()`), so strictly-longer
+        # is the condition for trimming the first segment.
+        if a > b:
             a -= 1
         else:
             b -= 1
@@ -146,7 +149,10 @@ class BaseTokenizer:
         if not self.added_tokens:
             return [(text, False)]
         pieces: List[Tuple[str, bool]] = [(text, False)]
-        for tok in self.added_tokens:
+        # Longest token first, deterministically: when one added token is a
+        # substring of another (e.g. "<response>" / "<response_long>"), the
+        # longer must win, matching HF's trie-based longest-match semantics.
+        for tok in sorted(self.added_tokens, key=lambda t: (-len(t), t)):
             nxt: List[Tuple[str, bool]] = []
             for piece, is_tok in pieces:
                 if is_tok:

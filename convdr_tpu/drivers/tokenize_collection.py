@@ -30,6 +30,13 @@ def get_arguments(argv=None):
     parser.add_argument("--max_doc_character", default=10000, type=int,
                         help="char pre-truncation before tokenizing")
     parser.add_argument("--num_workers", default=32, type=int)
+    parser.add_argument(
+        "--queries", nargs="*", default=[], type=str,
+        help="Optional qid\\tquery .tsv files; each is tokenized into "
+             "<out_data_dir>/<stem> query cache + qid<->offset maps "
+             "(reference query-cache path, data/tokenizing.py:119-130)",
+    )
+    parser.add_argument("--max_query_length", default=64, type=int)
     return parser.parse_args(argv)
 
 
@@ -49,6 +56,24 @@ def main(argv=None):
         num_workers=args.num_workers,
     )
     print(f"Total lines written: {count}")
+    if args.queries:
+        import os
+
+        from convdr_tpu.data.tokenize_pipeline import tokenize_queries_file
+        from convdr_tpu.data.tokenizers import load_tokenizer
+
+        tokenizer = load_tokenizer(
+            model_config.tokenizer_kind, args.model_name_or_path
+        )
+        for qpath in args.queries:
+            stem = os.path.splitext(os.path.basename(qpath))[0]
+            out = os.path.join(args.out_data_dir, stem)
+            n = tokenize_queries_file(
+                qpath, out,
+                tokenizer=tokenizer,
+                max_query_length=args.max_query_length,
+            )
+            print(f"Query cache {stem}: {n} queries")
     return count
 
 

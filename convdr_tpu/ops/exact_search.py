@@ -112,6 +112,68 @@ def _chunked_topk(
     return select_from_groupmax(s3, group_max, k, group, valid)
 
 
+# Widths at or below this go straight to lax.top_k; above it, group-prune
+# recursively. 4096 keeps every payload sort narrow while the group-max
+# reduce + one-hot gather overhead stays negligible next to the sort saved.
+_TOPK_BASE_WIDTH = 4096
+
+
+def grouped_topk_last_axis(
+    x: jnp.ndarray, k: int, group: int = 32
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k over the last axis with RECURSIVE group pruning.
+
+    Same contract as ``jax.lax.top_k`` (values desc, stable lower-index-first
+    on ties) but the O(W log W) payload sort is replaced by: per-group maxima
+    (VPU reduce), a recursive top-k over the W/G maxima, a one-hot MXU gather
+    of the k selected groups, and a final k*G-wide sort. Every level's sort
+    is at most max(_TOPK_BASE_WIDTH, k*G) wide no matter how wide W grows --
+    at the reference's block sizes (524k rows => 16k groups at G=32,
+    run_convdr_inference.py:159, README.md:216) the single-level selection's
+    16k-wide payload sort and [Q, k, 16k] one-hot gather dominated the whole
+    search; recursion caps both.
+
+    Exactness: any top-k element lives in one of the k top-ranked groups
+    (k groups with larger-or-tied-earlier maxima would otherwise each hold
+    an element ranked above it), so pruning never drops a needed candidate;
+    ascending-sorted group ids + stable sorts at every level preserve the
+    global (score desc, index asc) tie order.
+    """
+    qn, w = x.shape
+    n_groups = -(-w // group)
+    if w <= max(_TOPK_BASE_WIDTH, 2 * k) or n_groups <= k:
+        return jax.lax.top_k(x, k)
+    pad = n_groups * group - w
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)), constant_values=NEG_INF)
+    x3 = x.reshape(qn, n_groups, group)
+    gmax = jnp.max(x3, axis=-1)
+    _, gsel = grouped_topk_last_axis(gmax, min(k, n_groups), group)
+    gsel = jnp.sort(gsel, axis=-1)  # ascending group ids => global order
+    cand = _onehot_gather_groups(x3, gsel)  # [Q, k, G]
+    top_s, sel = grouped_topk_last_axis(cand.reshape(qn, -1), k, group)
+    grp_ids = jnp.take_along_axis(gsel, sel // group, axis=1)
+    top_i = grp_ids * group + sel % group
+    return top_s, top_i
+
+
+def _onehot_gather_groups(s3: jnp.ndarray, gsel: jnp.ndarray) -> jnp.ndarray:
+    """Gather score groups ``s3[q, gsel[q, j], :]`` via a one-hot batched
+    matmul -- the MXU eats this, ~2x faster end-to-end than
+    take_along_axis's dynamic gather on TPU, and numerically exact (a single
+    1.0 term per sum). HIGHEST precision: the default TPU matmul rounds
+    operands to bf16, which would corrupt the gathered f32 scores."""
+    n_groups = s3.shape[1]
+    onehot = jax.nn.one_hot(gsel, n_groups, dtype=jnp.float32)  # [Q, kg, NG]
+    return jnp.einsum(
+        "qkn,qng->qkg",
+        onehot,
+        s3,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def select_from_groupmax(
     s3: jnp.ndarray,
     group_max: jnp.ndarray,
@@ -125,7 +187,10 @@ def select_from_groupmax(
     maxima picks candidate groups (+1 absorber when validity-masked), group
     ids sort ascending to preserve the global tie order, a one-hot MXU
     matmul gathers candidates, and indices are recovered arithmetically
-    from the final stable top-k's positions.
+    from the final stable top-k's positions. Both the group-max top-k and
+    the final candidate top-k recurse through
+    :func:`grouped_topk_last_axis`, so selection sorts stay narrow even at
+    500k+-row blocks.
     """
     qn, n_groups, _g = s3.shape
     k_grp = k
@@ -134,24 +199,15 @@ def select_from_groupmax(
         group_max = jnp.where(group_start[None, :] < valid, group_max, NEG_INF)
         k_grp = k + 1  # absorb a spurious straddling-group selection
     k_grp = min(k_grp, n_groups)
-    _, gsel = jax.lax.top_k(group_max, k_grp)  # candidate groups, stable
+    _, gsel = grouped_topk_last_axis(group_max, k_grp, group)
     gsel = jnp.sort(gsel, axis=-1)  # ascending group ids => global order
-    onehot = jax.nn.one_hot(gsel, n_groups, dtype=jnp.float32)  # [Q, kg, NG]
-    # HIGHEST precision: the default TPU matmul rounds operands to bf16,
-    # which would corrupt the gathered f32 candidate scores.
-    cand = jnp.einsum(
-        "qkn,qng->qkg",
-        onehot,
-        s3,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # [Q, kg, G]
+    cand = _onehot_gather_groups(s3, gsel)  # [Q, kg, G]
     if valid is not None:
         cand_idx = gsel[:, :, None] * group + jnp.arange(
             group, dtype=jnp.int32
         )[None, None, :]
         cand = jnp.where(cand_idx < valid, cand, NEG_INF)
-    top_s, sel = jax.lax.top_k(cand.reshape(qn, -1), k)
+    top_s, sel = grouped_topk_last_axis(cand.reshape(qn, -1), k, group)
     # Recover global indices arithmetically from the flat candidate position
     # (sel = grp_slot * G + offset) -- a [Q, k]-sized gather into gsel
     # instead of materializing and gathering a [Q, kG] index matrix (the

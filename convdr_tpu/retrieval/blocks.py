@@ -50,19 +50,27 @@ def write_embedding_block(
 ) -> None:
     """fmt="pickle" writes reference-compatible files; fmt="native" writes
     one .cnb file via the C++ block store (faster load on the serving path).
+
+    Embedding dtype is preserved for 16/32-bit floats (bf16 storage halves
+    disk + HBM for capacity-mode search, SearchConfig.storage_dtype);
+    float64 is downcast to the reference's float32. The native .cnb format
+    is f32-only.
     """
     os.makedirs(data_dir, exist_ok=True)
+    emb = np.asarray(embeddings)
+    if emb.dtype == np.float64:
+        emb = emb.astype(np.float32)
     if fmt == "native":
         from convdr_tpu.native_io import write_native_block
 
         write_native_block(
             _native_path(data_dir, block_id),
-            np.asarray(embeddings, np.float32),
+            emb.astype(np.float32),
             np.asarray(offsets, np.int64),
         )
         return
     with open(_block_path(data_dir, emb_prefix, block_id), "wb") as f:
-        pickle.dump(np.asarray(embeddings, np.float32), f, protocol=4)
+        pickle.dump(emb, f, protocol=4)
     with open(_block_path(data_dir, embid_prefix, block_id), "wb") as f:
         pickle.dump(np.asarray(offsets), f, protocol=4)
 

@@ -48,13 +48,19 @@ class BlockedSearcher:
         self.index_axis = index_axis
 
     def _bucket_rows(self, n: int) -> int:
-        """Pad block row counts to power-of-two buckets >= 8192 to bound the
-        number of distinct compiled shapes; buckets round up to a multiple
-        of shards*128 so the sharded search divides evenly on any axis size
-        (incl. non-power-of-two slices)."""
+        """Pad block row counts to a <=1.25x geometric ladder of buckets
+        (>= 8192) to bound the number of distinct compiled shapes; buckets
+        round up to a multiple of shards*128 so the sharded search divides
+        evenly on any axis size (incl. non-power-of-two slices).
+
+        A power-of-two ladder wasted up to 2x matmul FLOPs + HBM on the
+        tail block (600k rows padded to 1,048,576); the 1.25x ladder caps
+        the waste at 25% while still compiling only ~O(log n) shapes --
+        and real block files are equal-sized, so in practice one or two
+        rungs ever compile."""
         bucket = 8192
         while bucket < n:
-            bucket *= 2
+            bucket = -(-int(bucket * 1.25) // 128) * 128
         if self.mesh is not None:
             quantum = self.mesh.shape[self.index_axis] * 128
             bucket = -(-bucket // quantum) * quantum

@@ -152,3 +152,61 @@ def test_invalid_precision_raises_clearly():
     p = np.ones((16, 8), np.float32)
     with pytest.raises(ValueError, match="matmul precision"):
         flat_ip_topk(q, p, 4, precision="bf16")
+
+
+# ---------------------------------------------------------------------------
+# recursive grouped top-k (the wide-block selection path)
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("w", [100, 4095, 4097, 40000, 200001])
+def test_grouped_topk_matches_lax_topk(rng, w):
+    """Values AND indices must equal lax.top_k exactly (stable tie order),
+    across widths that exercise 0, 1, and 2+ recursion levels."""
+    from convdr_tpu.ops.exact_search import grouped_topk_last_axis
+
+    x = jnp.asarray(rng.randn(5, w).astype(np.float32))
+    ref_s, ref_i = jax.lax.top_k(x, 100)
+    got_s, got_i = grouped_topk_last_axis(x, 100, group=32)
+    assert np.array_equal(np.asarray(got_s), np.asarray(ref_s))
+    assert np.array_equal(np.asarray(got_i), np.asarray(ref_i))
+
+
+@pytest.mark.parametrize("group", [32, 128])
+def test_grouped_topk_tie_storm(rng, group):
+    """Massive exact ties (scores drawn from 4 distinct values): the pruned
+    selection must keep lax.top_k's lower-index-first order bit-for-bit."""
+    from convdr_tpu.ops.exact_search import grouped_topk_last_axis
+
+    x = jnp.asarray(
+        rng.randint(0, 4, size=(4, 50000)).astype(np.float32)
+    )
+    ref_s, ref_i = jax.lax.top_k(x, 128)
+    got_s, got_i = grouped_topk_last_axis(x, 128, group=group)
+    assert np.array_equal(np.asarray(got_s), np.asarray(ref_s))
+    assert np.array_equal(np.asarray(got_i), np.asarray(ref_i))
+
+
+def test_grouped_topk_boundary_ties(rng):
+    """Tied group maxima straddling the selection cut must resolve to the
+    lower global index (the reference's first-block-wins rule scaled down)."""
+    from convdr_tpu.ops.exact_search import grouped_topk_last_axis
+
+    w, k = 20000, 7
+    x = np.full((1, w), -1.0, np.float32)
+    # k+3 copies of the same max score scattered across groups
+    pos = np.asarray([5, 31, 32, 63, 9000, 9001, 12800, 19998, 19999])
+    x[0, pos] = 3.5
+    ref_s, ref_i = jax.lax.top_k(jnp.asarray(x), k)
+    got_s, got_i = grouped_topk_last_axis(jnp.asarray(x), k, group=32)
+    assert np.array_equal(np.asarray(got_s), np.asarray(ref_s))
+    assert np.array_equal(np.asarray(got_i), np.asarray(ref_i))
+
+
+def test_flat_ip_large_block_matches_oracle(rng):
+    """End-to-end: a block wide enough to trigger recursive selection."""
+    queries = rng.randn(4, 24).astype(np.float32)
+    passages = rng.randn(150000, 24).astype(np.float32)
+    s, i = flat_ip_topk(jnp.asarray(queries), jnp.asarray(passages), 50,
+                        block_rows=150000)
+    os_, oi = topk_oracle(queries, passages, 50)
+    assert np.array_equal(np.asarray(i), oi)
+    assert np.allclose(np.asarray(s), os_, atol=2e-5)

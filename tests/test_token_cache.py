@@ -72,3 +72,34 @@ def test_sharded_iteration(cache_path):
 def test_id_maps(tmp_path):
     save_id_maps(str(tmp_path), [7, 3, 9])
     assert load_offset2pid(str(tmp_path)) == [7, 3, 9]
+
+
+def test_query_cache_roundtrip(tmp_path):
+    """tokenize_queries_file persists the cache AND the qid maps
+    (reference query-cache path, data/tokenizing.py:119-130, 58-75)."""
+    from convdr_tpu.data.token_cache import load_query_id_maps
+    from convdr_tpu.data.tokenize_pipeline import tokenize_queries_file
+    from convdr_tpu.data.tokenizers import load_tokenizer
+
+    tok = load_tokenizer("roberta", "tiny")
+    qpath = tmp_path / "queries.dev.tsv"
+    queries = [("1_1", "tell me about cats"), ("2_1", "dogs are loud"),
+               ("31_4", "more cats please")]
+    with open(qpath, "w") as f:
+        for qid, text in queries:
+            f.write(f"{qid}\t{text}\n")
+        f.write("malformed-line-no-tab\n")  # skipped, like the reference
+
+    base = str(tmp_path / "queries.dev")
+    n = tokenize_queries_file(str(qpath), base, tokenizer=tok, max_query_length=12)
+    assert n == 3
+
+    cache = TokenCache(base)
+    qid2offset, offset2qid = load_query_id_maps(base)
+    assert offset2qid == [q for q, _ in queries]
+    assert qid2offset == {q: i for i, (q, _) in enumerate(queries)}
+    for i, (_, text) in enumerate(queries):
+        expect = tok.encode(text, add_special_tokens=True, max_length=12)
+        length, ids = cache[i]
+        assert length == len(expect)
+        assert list(ids[:length]) == list(expect)
