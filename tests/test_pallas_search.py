@@ -79,3 +79,70 @@ def test_pallas_topk_k_exceeds_n(rng):
     )
     assert i.shape == (2, 80)
     assert np.all(np.asarray(i)[:, 64:] == -1)
+
+
+# ---------------------------------------------------------------------------
+# streaming path (scores never materialized)
+# ---------------------------------------------------------------------------
+def test_streaming_groupmax_matches_numpy(rng):
+    from convdr_tpu.ops.pallas_search import streaming_groupmax
+
+    q, p = problem(rng, q=4, n=512, d=32)
+    gmax = np.asarray(streaming_groupmax(
+        jnp.asarray(q), jnp.asarray(p), group=16, tile_rows=64, interpret=True
+    ))
+    ref = (q @ p.T).reshape(4, 512 // 16, 16).max(-1)
+    np.testing.assert_allclose(gmax, ref, rtol=1e-5)
+
+
+def test_extract_candidate_scores_exact(rng):
+    from convdr_tpu.ops.pallas_search import extract_candidate_scores
+
+    q, p = problem(rng, q=8, n=512, d=32)
+    group, kg = 16, 5
+    gsel = np.sort(
+        np.stack([
+            rng.choice(512 // group, size=kg, replace=False) for _ in range(8)
+        ]).astype(np.int32), axis=1,
+    )
+    cand = np.asarray(extract_candidate_scores(
+        jnp.asarray(q), jnp.asarray(p), jnp.asarray(gsel),
+        group=group, tile_rows=64, query_tile=4, interpret=True,
+    ))
+    full = q @ p.T
+    for r in range(8):
+        for j in range(kg):
+            g = gsel[r, j]
+            np.testing.assert_allclose(
+                cand[r, j], full[r, g * group:(g + 1) * group], rtol=1e-5
+            )
+
+
+@pytest.mark.parametrize("n,valid", [(640, -1), (600, 555)])
+def test_streaming_topk_matches_oracle(rng, n, valid):
+    from convdr_tpu.ops.pallas_search import streaming_flat_ip_topk
+
+    q, p = problem(rng, q=6, n=n, d=32)
+    n_valid = n if valid < 0 else valid
+    os_, oi = topk_oracle(q, p[:n_valid], 37)
+    s, i = streaming_flat_ip_topk(
+        jnp.asarray(q), jnp.asarray(p), 37,
+        group=16, tile_rows=64, query_tile=4, valid_rows=valid,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(i), oi)
+    np.testing.assert_allclose(np.asarray(s), os_, rtol=1e-5)
+
+
+def test_streaming_topk_tie_break(rng):
+    from convdr_tpu.ops.pallas_search import streaming_flat_ip_topk
+
+    q = np.ones((4, 8), np.float32)
+    p = np.zeros((512, 8), np.float32)
+    for idx in (5, 16, 255, 256, 400):
+        p[idx] = 1.0
+    s, i = streaming_flat_ip_topk(
+        jnp.asarray(q), jnp.asarray(p), 5,
+        group=16, tile_rows=64, query_tile=4, interpret=True,
+    )
+    assert list(np.asarray(i)[0]) == [5, 16, 255, 256, 400]
