@@ -177,7 +177,10 @@ def load_model_and_params(
         updates["vocab_size"] = vocab_needed
     if updates:
         arch = dataclasses.replace(arch, **updates)
-        config = dataclasses.replace(config, arch=arch)
+    # Unconditionally: `arch` may differ from config.arch via the tiny
+    # preset alone (updates empty) -- gating this on `updates` silently
+    # built the BASE architecture for tiny runs.
+    config = dataclasses.replace(config, arch=arch)
 
     # Keep the tokenizer's declared capacity in sync with the actual
     # position-embedding table so driver-side clamps

@@ -79,6 +79,15 @@ def train_one_model(
     exactly.
     """
     batch_size = config.per_device_batch_size * max(1, n_devices)
+    if len(dataset) < batch_size:
+        # drop_last + static jit shapes: a smaller dataset would yield ZERO
+        # batches and the loop would silently no-op through every epoch.
+        raise ValueError(
+            f"dataset has {len(dataset)} examples but one optimizer step "
+            f"needs {batch_size} (per_device_batch_size="
+            f"{config.per_device_batch_size} x {max(1, n_devices)} devices); "
+            "reduce the batch size or add data"
+        )
     steps_per_epoch = max(len(dataset) // batch_size, 1)
     opt_steps_per_epoch = max(
         steps_per_epoch // config.gradient_accumulation_steps, 1

@@ -1,0 +1,359 @@
+"""Quality-parity rehearsal at discriminating scale (VERDICT r1 item 9).
+
+Drives the FULL driver pipeline -- tokenize -> embed (length-bucketed) ->
+teacher-run -> ranking data -> KD+ranking training -> inference -> metrics
+(the reference flow: /root/reference/run_convdr_inference.py:21-113 +
+README.md:207) -- on a synthetic CAsT-shaped corpus with STRUCTURED
+relevance, and asserts that training moves the needle:
+
+  * NDCG@3 / MRR of the trained student (conversational `no_res` input)
+    improves over the untrained student;
+  * recall@100 of the searcher matches a numpy oracle on a query subset.
+
+Relevance construction mirrors the reference's KD premise: in ConvDR the
+teacher (ANCE) defines the target geometry and the student learns to map
+the raw conversation onto the teacher's embedding of the manual rewrite
+(run_convdr_train.py:109-115). Here qrels := the frozen teacher's top-3
+passages for each manual rewrite, so teacher-on-manual scores NDCG@3 = 1 by
+construction, an untrained student on raw conversational input scores far
+lower, and KD measurably closes the gap -- a discriminating end-to-end
+signal with no external checkpoints (zero-egress environment).
+
+Usage (TPU, ~15-30 min mostly compiles):
+    python scripts/rehearsal.py --workdir /tmp/rehearsal
+Smoke (CPU mesh, tiny arch):
+    python scripts/rehearsal.py --workdir /tmp/r_smoke --smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+WORDS = (
+    "ocean coral reef tide current whale dolphin plankton kelp harbor "
+    "mountain glacier summit ridge valley avalanche granite basalt quartz "
+    "engine turbine piston exhaust throttle chassis gearbox clutch axle "
+    "violin cello sonata tempo rhythm harmony melody chord orchestra "
+    "neuron synapse cortex axon dendrite receptor dopamine plasticity "
+    "senate ballot statute amendment tribunal verdict appeal precedent "
+    "harvest orchard irrigation fertilizer drought silo tractor plough "
+    "galaxy nebula quasar pulsar photon orbit eclipse meteor asteroid "
+    "protein enzyme ribosome membrane nucleus mitochondria chromosome "
+    "ledger equity dividend futures hedge liquidity margin arbitrage"
+).split()
+
+FILLER = (
+    "the a this that with from into over under about between during "
+    "describes explains covers discusses concerns presents details"
+).split()
+
+
+def make_corpus(path: str, n_passages: int, topics, rng):
+    """Passages: each topic owns a handful of passages rich in its subject
+    words; the rest are background noise over the shared pool."""
+    import numpy as np
+
+    with open(path, "w") as f:
+        for pid in range(n_passages):
+            words = []
+            for _ in range(30):
+                words.append(WORDS[rng.randint(len(WORDS))])
+                if rng.rand() < 0.3:
+                    words.append(FILLER[rng.randint(len(FILLER))])
+            f.write(f"{pid}\t{' '.join(words)}\n")
+
+
+def make_topics(eval_path, queries_path, topics, turns, rng):
+    """CAsT-shaped conversations: turn 0 states the subject; later turns
+    are elliptical follow-ups; `target` is always the full rewrite."""
+    with open(eval_path, "w") as ef, open(queries_path, "w") as qf:
+        for t, subject in enumerate(topics):
+            history = []
+            for turn in range(turns):
+                aspects = ["overview", "history", "cost", "impact"]
+                aspect = aspects[turn % len(aspects)]
+                if turn == 0:
+                    raw = f"tell me about {subject}"
+                else:
+                    raw = f"what about its {aspect}"  # ellipsis: no subject
+                target = f"tell me about the {aspect} of {subject}"
+                history.append(raw)
+                qid = f"{t + 1}_{turn + 1}"
+                ef.write(json.dumps({
+                    "topic_number": t + 1,
+                    "query_number": turn + 1,
+                    "input": list(history),
+                    "target": target,
+                }) + "\n")
+                qf.write(f"{qid}\t{raw}\n")
+
+
+def run(cmd_module, argv, tag):
+    t0 = time.time()
+    print(f"[rehearsal] {tag}: {' '.join(argv)}", flush=True)
+    out = cmd_module.main(argv)
+    print(f"[rehearsal] {tag} done in {time.time() - t0:.1f}s", flush=True)
+    return out
+
+
+def build_qrels_from_run(trec_path, qrels_path, top_rel=3):
+    """qrels := teacher-on-manual top-`top_rel` per query (graded 2,1,1)."""
+    per_q = {}
+    with open(trec_path) as f:
+        for line in f:
+            qid, _, pid, rank, _score, _tag = line.split()
+            per_q.setdefault(qid, []).append((int(rank), pid))
+    with open(qrels_path, "w") as f:
+        for qid, items in per_q.items():
+            for rank, pid in sorted(items)[:top_rel]:
+                rel = 2 if rank == 1 else 1
+                f.write(f"{qid}\t0\t{pid}\t{rel}\n")
+
+
+def oracle_subset_check(ann_dir, processed_dir, raw_dir, model_path, args):
+    """recall@100 exactness: library search vs numpy oracle, 8 queries."""
+    import numpy as np
+
+    from convdr_tpu.core.config import SearchConfig
+    from convdr_tpu.core.loading import load_model_and_params, make_apply_fn
+    from convdr_tpu.data.conv_dataset import ConvSearchDataset
+    from convdr_tpu.retrieval.blocks import iter_embedding_blocks
+    from convdr_tpu.retrieval.searcher import BlockedSearcher
+
+    import jax
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    config, tokenizer, model, params = load_model_and_params(
+        "rdot_nll", model_path,
+        dtype=dtype,
+        arch_preset="tiny" if args.smoke else None,
+    )
+    ds = ConvSearchDataset(
+        [os.path.join(raw_dir, "eval_topics.jsonl")], tokenizer,
+        max_query_length=args.max_query_length,
+        max_concat_length=args.max_concat_length,
+        mode="inference", query_mode="no_res",
+    )
+    batch = ds.collate([ds[i] for i in range(8)])
+    apply_fn = make_apply_fn(model)
+    q = np.asarray(apply_fn(
+        params, jnp.asarray(batch["concat_ids"]),
+        jnp.asarray(batch["concat_mask"]), True,
+    ), np.float32)
+
+    searcher = BlockedSearcher(SearchConfig(top_n=100))
+    s, got_offs = searcher.search_blocks(ann_dir, q, 100)
+
+    # blocked numpy oracle over the same block files
+    best_s = best_i = None
+    for _b, emb, offs in iter_embedding_blocks(ann_dir):
+        scores = q @ emb.astype(np.float32).T
+        kk = min(100, scores.shape[1])
+        part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+        ps = np.take_along_axis(scores, part, axis=1)
+        pi = offs[part]
+        if best_s is None:
+            best_s, best_i = ps, pi
+        else:
+            cs = np.concatenate([best_s, ps], axis=1)
+            ci = np.concatenate([best_i, pi], axis=1)
+            keep = np.argpartition(-cs, 99, axis=1)[:, :100]
+            best_s = np.take_along_axis(cs, keep, axis=1)
+            best_i = np.take_along_axis(ci, keep, axis=1)
+    mismatch = sum(
+        set(got_offs[r]) != set(best_i[r]) for r in range(q.shape[0])
+    )
+    return int(mismatch)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--workdir", required=True)
+    parser.add_argument("--n_passages", type=int, default=50_000)
+    parser.add_argument("--n_topics", type=int, default=48)
+    parser.add_argument("--turns", type=int, default=4)
+    parser.add_argument("--steps", type=int, default=300)
+    parser.add_argument("--max_seq_length", type=int, default=128)
+    parser.add_argument("--max_concat_length", type=int, default=96)
+    parser.add_argument("--max_query_length", type=int, default=32)
+    parser.add_argument("--dtype", default="bfloat16")
+    parser.add_argument("--learning_rate", type=float, default=2e-4)
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument(
+        "--smoke", action="store_true",
+        help="tiny arch + 8-device CPU mesh + small corpus (CI-sized)",
+    )
+    args = parser.parse_args(argv)
+
+    if args.smoke:
+        os.environ.setdefault(
+            "XLA_FLAGS", "--xla_force_host_platform_device_count=8"
+        )
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        args.n_passages = min(args.n_passages, 1500)
+        args.n_topics = min(args.n_topics, 6)
+        args.steps = min(args.steps, 60)
+        args.dtype = "float32"
+
+    import numpy as np
+
+    from convdr_tpu.drivers import (
+        gen_passage_embeddings,
+        run_convdr_inference,
+        run_convdr_train,
+        tokenize_collection,
+    )
+    from convdr_tpu.etl import ranking_data
+
+    wd = args.workdir
+    raw = os.path.join(wd, "raw")
+    processed = os.path.join(wd, "processed")
+    embeddings = os.path.join(wd, "embeddings")
+    os.makedirs(raw, exist_ok=True)
+
+    rng = np.random.RandomState(17)
+    topics = [
+        f"{WORDS[rng.randint(len(WORDS))]} {WORDS[rng.randint(len(WORDS))]}"
+        for _ in range(args.n_topics)
+    ]
+    make_corpus(os.path.join(raw, "collection.tsv"), args.n_passages, topics, rng)
+    make_topics(
+        os.path.join(raw, "eval_topics.jsonl"),
+        os.path.join(raw, "queries.raw.tsv"),
+        topics, args.turns, rng,
+    )
+
+    arch = ["--arch_size", "tiny"] if args.smoke else []
+    common_model = ["--model_type", "rdot_nll", "--dtype", args.dtype] + arch
+
+    # 1) tokenize
+    run(tokenize_collection, [
+        "--collection", os.path.join(raw, "collection.tsv"),
+        "--out_data_dir", processed,
+        "--model_type", "rdot_nll",
+        "--max_seq_length", str(args.max_seq_length),
+        "--num_workers", "1",
+    ], "tokenize")
+
+    # 2) teacher corpus embeddings (length-bucketed)
+    run(gen_passage_embeddings, [
+        "--data_dir", processed,
+        "--checkpoint", "init",
+        "--output_dir", embeddings,
+        "--cache_dir", os.path.join(wd, "cache"),
+        "--per_gpu_eval_batch_size", "64",
+        "--length_buckets", "auto",
+    ] + common_model, "embed")
+
+    infer_common = [
+        "--eval_file", os.path.join(raw, "eval_topics.jsonl"),
+        "--ann_data_dir", embeddings,
+        "--processed_data_dir", processed,
+        "--raw_data_dir", raw,
+        "--output_query_type", "raw",
+        "--top_n", "100",
+        "--max_concat_length", str(args.max_concat_length),
+        "--max_query_length", str(args.max_query_length),
+        "--per_gpu_eval_batch_size", "32",
+    ] + common_model
+
+    # 3) teacher on MANUAL rewrites -> defines qrels (and the ranking run)
+    teacher_trec = os.path.join(wd, "teacher_manual.trec")
+    run(run_convdr_inference, infer_common + [
+        "--model_path", "init",
+        "--query", "target",
+        "--output_trec_file", teacher_trec,
+    ], "teacher-run")
+    qrels = os.path.join(raw, "qrels.tsv")
+    build_qrels_from_run(teacher_trec, qrels)
+
+    # 4) untrained student on raw conversational input
+    metrics_base = run(run_convdr_inference, infer_common + [
+        "--model_path", "init",
+        "--query", "no_res",
+        "--qrels", qrels,
+        "--output_trec_file", os.path.join(wd, "baseline.trec"),
+    ], "baseline-eval")
+
+    # 5) ranking data from the teacher run (judged negatives + positives)
+    train_rank = os.path.join(wd, "train_rank.jsonl")
+    run(ranking_data, [
+        "--train", os.path.join(raw, "eval_topics.jsonl"),
+        "--run", teacher_trec,
+        "--qrels", qrels,
+        "--output", train_rank,
+        "--collection", os.path.join(raw, "collection.tsv"),
+        "--num_negs", "9",
+        "--seed", "13",
+    ], "ranking-data")
+
+    # 6) KD + ranking training. One optimizer batch spans all devices;
+    # keep it <= the training-set size or no step would fit (the loop
+    # rejects that explicitly).
+    import jax
+
+    n_dev = len(jax.devices())
+    n_examples = args.n_topics * args.turns
+    per_gpu = max(1, min(args.batch_size, n_examples // n_dev))
+    model_dir = os.path.join(wd, "model")
+    run(run_convdr_train, [
+        "--output_dir", model_dir,
+        "--train_file", train_rank,
+        "--query", "no_res",
+        "--teacher_model", "init",
+        "--model_name_or_path", "init",
+        "--ranking_task",
+        "--max_steps", str(args.steps),
+        "--learning_rate", str(args.learning_rate),
+        "--per_gpu_train_batch_size", str(per_gpu),
+        "--max_concat_length", str(args.max_concat_length),
+        "--max_query_length", str(args.max_query_length),
+        "--log_steps", "20",
+        "--overwrite_output_dir",
+    ] + common_model, "train")
+
+    # 7) trained student on raw conversational input
+    metrics_post = run(run_convdr_inference, infer_common + [
+        "--model_path", model_dir,
+        "--query", "no_res",
+        "--qrels", qrels,
+        "--output_trec_file", os.path.join(wd, "trained.trec"),
+    ], "trained-eval")
+
+    # 8) recall@100 oracle subset check
+    mismatches = oracle_subset_check(
+        embeddings, processed, raw, model_dir, args
+    )
+
+    summary = {
+        "baseline": {k: round(v, 4) for k, v in metrics_base.items()},
+        "trained": {k: round(v, 4) for k, v in metrics_post.items()},
+        "oracle_set_mismatches_8q": mismatches,
+        "config": {
+            "n_passages": args.n_passages, "n_topics": args.n_topics,
+            "turns": args.turns, "steps": args.steps, "smoke": args.smoke,
+        },
+    }
+    print(json.dumps(summary, indent=2))
+    with open(os.path.join(wd, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+
+    assert mismatches == 0, "searcher recall@100 diverged from oracle"
+    for key in ("ndcg_cut_3", "mrr"):
+        assert metrics_post[key] > metrics_base[key], (
+            f"{key} did not improve: {metrics_base[key]} -> {metrics_post[key]}"
+        )
+    print("[rehearsal] PASS: KD training improved conversational retrieval")
+    return summary
+
+
+if __name__ == "__main__":
+    main()
