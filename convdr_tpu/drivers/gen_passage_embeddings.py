@@ -118,6 +118,19 @@ def main(argv=None):
     )
     apply_fn = make_apply_fn(model)
     cache = TokenCache(os.path.join(args.data_dir, "passages"))
+    capacity = (
+        config.arch.max_position_embeddings - config.arch.position_offset
+    )
+    if not config.multi_chunk and cache.max_seq_length > capacity:
+        # A valid token past the position table would gather out of range,
+        # which jnp fills with NaN -- every downstream embedding would be
+        # silently poisoned. Multi-chunk models are exempt: body_emb
+        # reshapes records into chunk_len-wide chunks first.
+        raise ValueError(
+            f"token cache records are {cache.max_seq_length} tokens but the "
+            f"model's position-embedding capacity is {capacity}; re-tokenize "
+            "with a smaller --max_seq_length or use a multi-chunk model"
+        )
     buckets = resolve_length_buckets(
         args.length_buckets, cache.max_seq_length, config.multi_chunk,
         config.chunk_len,

@@ -171,6 +171,26 @@ def main(argv=None):
         import dataclasses as _dc
 
         config = _dc.replace(config, max_concat_length=clamped_concat)
+    # Same capacity clamp for ranking documents: a valid token past the
+    # position table would gather out of range, which jnp fills with NaN
+    # (silent loss poisoning, found via the rehearsal's tiny smoke run).
+    if config.max_doc_length > max_single:
+        import dataclasses as _dc
+
+        logger.warning(
+            "clamping max_doc_length %d to position capacity %d",
+            config.max_doc_length, max_single,
+        )
+        config = _dc.replace(
+            config,
+            max_doc_length=max_single,
+            doc_length_buckets=(
+                tuple(r for r in config.doc_length_buckets if r < max_single)
+                + (max_single,)
+                if config.doc_length_buckets
+                else None
+            ),
+        )
 
     extra_tokens = (
         (RESPONSE_TOKEN,) if args.query in ("man_can", "auto_can") else ()
