@@ -29,9 +29,32 @@ Measured v5e (512 queries x 100k x 768, top-100): this fused path runs at
 ~7.4 ms/search vs ~4.1 ms for the XLA path in exact_search.py -- the fusion
 saves one HBM score pass but the G=128 selection (12.8k-wide payload sort)
 and the small T=512 tile (VMEM double-buffering limits) cost more than the
-saved pass. The XLA path therefore remains the production default; this
-kernel is the building block for streaming variants where scores must not
-be materialized at all.
+saved pass. The XLA path therefore remains the production default.
+
+STREAMING VERDICT (round 2, closes VERDICT r1 item 3). The fully streaming
+variant below (``streaming_flat_ip_topk``: scores never reach HBM; group
+maxima in one pass, candidate groups re-scored in a second pass) is exact
+(recall-set parity vs the XLA path at 524k rows on-chip) but LOSES on v5e
+at every measured operating point:
+
+    524288 x 768 f32, top-100, HIGHEST precision
+      Q=512: streaming 117 ms   vs XLA flat_ip_topk 23.9 ms
+      Q=512 (query_tile=128): 116 ms; query_tile=256 exceeds VMEM
+      Q=64 : streaming 16.8 ms  vs XLA  6.8 ms
+
+Roofline explanation: at HIGHEST precision the score matmul costs ~12.5 ms
+per 512-query block (412 GFLOP at the ~33 TF/s f32 effective MXU rate).
+The [Q, B] score traffic streaming avoids is only ~3 x 1 GB = ~3.7 ms of
+HBM time at Q=512 (write + gmax read + gather read) -- and XLA fuses part
+of that. Avoiding <4 ms of HBM by paying a second >=12.5 ms matmul pass
+(pass B re-scores selected groups against the full corpus) cannot win; at
+small Q both passes shrink together, and the Mosaic in-kernel HIGHEST
+matmul additionally sustains ~2-3x less throughput than XLA's tuned
+emitter. A streaming design only becomes interesting at default (bf16)
+matmul precision -- ~8x cheaper FLOPs flip the ratio -- but that mode
+breaks the oracle-exactness contract this engine is specified for
+(exact_search.py), so the XLA path remains the production default and the
+streaming kernels are kept as exact, tested building blocks.
 """
 
 from __future__ import annotations
