@@ -59,6 +59,13 @@ def get_arguments(argv=None):
                     help="tiny = miniature architecture for smoke tests")
     parser.add_argument("--no_mesh", action="store_true",
                         help="disable mesh sharding (single device)")
+    parser.add_argument(
+        "--storage_dtype", default="float32",
+        choices=["float32", "bfloat16"],
+        help="on-disk block dtype: float32 keeps reference-format blocks; "
+        "bfloat16 halves disk+HBM for capacity-mode search (pass the same "
+        "value to run_convdr_inference)",
+    )
     parser.add_argument("--block_format", default="pickle",
                         choices=["pickle", "native"],
                         help="block file format: 'pickle' = reference-"
@@ -150,6 +157,7 @@ def main(argv=None):
         mesh=mesh,
         length_buckets=buckets,
         block_format=args.block_format,
+        storage_dtype=args.storage_dtype,
     )
     logger.info("wrote %d embedding rows to %s", rows, args.output_dir)
     return rows

@@ -73,6 +73,12 @@ def get_arguments(argv=None):
     parser.add_argument("--model_type", required=True, type=str,
                         choices=sorted(MODEL_REGISTRY))
     parser.add_argument("--top_n", default=100, type=int)
+    parser.add_argument(
+        "--storage_dtype", default="float32",
+        choices=["float32", "bfloat16"],
+        help="HBM dtype for embedding blocks during search (match the "
+        "gen_passage_embeddings --storage_dtype; f32 accumulation either way)",
+    )
     parser.add_argument("--dtype", default="float32",
                         choices=["float32", "bfloat16"])
     parser.add_argument("--gelu", default="auto",
@@ -160,7 +166,10 @@ def main(argv=None):
     mesh = None
     if not args.no_mesh and len(jax.devices()) > 1:
         mesh = get_mesh(("index",))
-    searcher = BlockedSearcher(SearchConfig(top_n=args.top_n), mesh=mesh)
+    searcher = BlockedSearcher(
+        SearchConfig(top_n=args.top_n, storage_dtype=args.storage_dtype),
+        mesh=mesh,
+    )
     with PhaseTimer("search"):
         scores, offsets = searcher.search_blocks(
             args.ann_data_dir, query_embs, args.top_n

@@ -169,6 +169,7 @@ def generate_embeddings(
     embid_prefix: str = "passage__embid_p_",
     length_buckets: Optional[tuple] = None,
     block_format: str = "pickle",
+    storage_dtype: str = "float32",
 ) -> int:
     """Encode the whole cache into ``num_blocks`` reference-format blocks.
 
@@ -185,7 +186,25 @@ def generate_embeddings(
     consumers map rows through the block's offset array. For multi-chunk
     models pass chunk-multiple rungs (each record encodes only the chunks
     its rung covers; empty chunks are skipped instead of indexed).
+
+    ``storage_dtype``: on-disk block dtype. "float32" (default) keeps the
+    reference block format byte-readable by the upstream consumers
+    (run_convdr_inference.py:163-175 pickles are f32); "bfloat16" halves
+    disk + HBM for capacity-mode search (searcher accumulates in f32, so
+    recall sets match the bf16-rounded oracle -- see bench.py --scale).
     """
+    storage_np = np.dtype("float32") if storage_dtype == "float32" else None
+    if storage_dtype not in ("float32", "bfloat16"):
+        raise ValueError(f"unknown storage_dtype {storage_dtype!r}")
+    if storage_dtype == "bfloat16":
+        import ml_dtypes
+
+        storage_np = np.dtype(ml_dtypes.bfloat16)
+        if block_format == "native":
+            raise ValueError(
+                "the native .cnb block store is f32-only; use the pickle "
+                "format for bfloat16 storage"
+            )
     if length_buckets is not None:
         length_buckets = tuple(sorted(length_buckets))
         if length_buckets[-1] < cache.max_seq_length:
@@ -242,12 +261,14 @@ def generate_embeddings(
             for _b, bids, blens, boffs in buf.flush():
                 run_batch(bids, blens, boffs)
         if embs_out:
-            block_embs = np.concatenate(embs_out, axis=0)
+            block_embs = np.concatenate(embs_out, axis=0).astype(
+                storage_np, copy=False
+            )
             emb_dim = block_embs.shape[-1]
         else:
             # empty round-robin shard (num_blocks > record count): keep the
             # real embedding dim so downstream loads/search stay well-typed
-            block_embs = np.zeros((0, emb_dim), np.float32)
+            block_embs = np.zeros((0, emb_dim), storage_np)
         block_ids = (
             np.concatenate(ids_out, axis=0) if ids_out else np.zeros((0,), np.int64)
         )

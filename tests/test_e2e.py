@@ -375,3 +375,35 @@ def test_embed_multi_chunk_length_buckets(tmp_path):
                         length_buckets=(2 * chunk_len, record_len))
     s_emb, s_ids = load_embedding_block(sdir, 0)
     assert len(s_ids) == expected, (len(s_ids), expected)
+
+
+def test_embed_pipeline_bf16_storage(pipeline):
+    """Capacity mode: bf16 blocks on disk, f32-accumulated search; the
+    recall set matches a bf16-rounded numpy oracle exactly."""
+    import ml_dtypes
+
+    from convdr_tpu.core.config import SearchConfig
+    from convdr_tpu.retrieval.blocks import load_embedding_block
+    from convdr_tpu.retrieval.searcher import BlockedSearcher
+
+    cache = TokenCache(str(pipeline["processed"] / "passages"))
+    out = str(pipeline["work"] / "bf16_embeddings")
+    rows = generate_embeddings(
+        pipeline["apply_fn"], pipeline["params"], cache, out,
+        batch_size=8, num_blocks=2, storage_dtype="bfloat16",
+    )
+    assert rows == N_PASSAGES
+    emb, ids = load_embedding_block(out, 0)
+    assert emb.dtype == ml_dtypes.bfloat16
+
+    q = np.random.RandomState(5).randn(4, emb.shape[1]).astype(np.float32)
+    searcher = BlockedSearcher(SearchConfig(top_n=8, storage_dtype="bfloat16"))
+    s, offs = searcher.search_blocks(out, q, 8)
+
+    emb1, ids1 = load_embedding_block(out, 1)
+    all_emb = np.concatenate([emb, emb1]).astype(np.float32)
+    all_ids = np.concatenate([ids, ids1])
+    oracle = q @ all_emb.T
+    top = np.argsort(-oracle, axis=1, kind="stable")[:, :8]
+    for r in range(4):
+        assert set(offs[r]) == set(all_ids[top[r]]), r
