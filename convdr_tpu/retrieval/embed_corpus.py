@@ -29,6 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from convdr_tpu.data.token_cache import TokenCache
 from convdr_tpu.retrieval.blocks import write_embedding_block
+from convdr_tpu.utils.hostops import concat_rows
 
 logger = logging.getLogger(__name__)
 
@@ -261,9 +262,7 @@ def generate_embeddings(
             for _b, bids, blens, boffs in buf.flush():
                 run_batch(bids, blens, boffs)
         if embs_out:
-            block_embs = np.concatenate(embs_out, axis=0).astype(
-                storage_np, copy=False
-            )
+            block_embs = concat_rows(embs_out).astype(storage_np, copy=False)
             emb_dim = block_embs.shape[-1]
         else:
             # empty round-robin shard (num_blocks > record count): keep the

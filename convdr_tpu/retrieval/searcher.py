@@ -32,6 +32,31 @@ from convdr_tpu.retrieval.blocks import iter_embedding_blocks
 
 logger = logging.getLogger(__name__)
 
+# Host->device transfers above ~1-2 GB fall off a bandwidth cliff on this
+# stack (measured v5e tunnel: 1.1 GB/s at <=1 GB, 150 MB/s at 2 GB), so
+# blocks upload in row-aligned slices and concatenate in HBM (~ms).
+_UPLOAD_CHUNK_BYTES = 1 << 30
+
+
+def _device_put_padded(block_embs: np.ndarray, padded_n: int, dtype) -> jnp.ndarray:
+    """Upload a [N, D] host block as [padded_n, D] of ``dtype`` on device.
+
+    Padding happens ON DEVICE (a zeros chunk in the concat): numpy has no
+    fast copy loop for bf16, so a host-side pad of a capacity-mode block
+    costs minutes (utils/hostops.py documents the measurement); HBM does it
+    in microseconds.
+    """
+    n, dim = block_embs.shape
+    row_bytes = max(int(block_embs.nbytes // max(n, 1)), 1)
+    rows_per_chunk = max(1, _UPLOAD_CHUNK_BYTES // row_bytes)
+    parts = [
+        jnp.asarray(block_embs[i : i + rows_per_chunk], dtype=dtype)
+        for i in range(0, n, rows_per_chunk)
+    ]
+    if padded_n > n:
+        parts.append(jnp.zeros((padded_n - n, dim), dtype))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
 
 class BlockedSearcher:
     """Exact top-N retrieval over on-disk embedding blocks."""
@@ -82,14 +107,7 @@ class BlockedSearcher:
         n = block_embs.shape[0]
         padded_n = self._bucket_rows(n)
         storage_dtype = jnp.dtype(self.config.storage_dtype)
-        if padded_n != n:
-            block_embs = np.concatenate(
-                [
-                    block_embs,
-                    np.zeros((padded_n - n, block_embs.shape[1]), block_embs.dtype),
-                ]
-            )
-        p = jnp.asarray(block_embs, dtype=storage_dtype)
+        p = _device_put_padded(block_embs, padded_n, storage_dtype)
         q = jnp.asarray(query_embs)
         if self.mesh is not None:
             s, i = sharded_flat_ip_topk(
