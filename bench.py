@@ -140,8 +140,9 @@ def bench_scale(
     cfg = SearchConfig(storage_dtype="bfloat16")
     searcher = BlockedSearcher(cfg)
 
-    # ---- compile warm-up sweep, then the timed end-to-end streamed sweep
-    searcher.search_blocks(cache_dir, queries, TOP_K)
+    # ---- compile warm-up on ONE block (all blocks share a shape bucket),
+    # then the timed end-to-end streamed sweep
+    searcher.search_blocks(cache_dir, queries, TOP_K, max_blocks=1)
     t0 = time.perf_counter()
     s, idx = searcher.search_blocks(cache_dir, queries, TOP_K)
     wall = time.perf_counter() - t0
@@ -181,6 +182,12 @@ def bench_scale(
         "overlap_efficiency": device_total / wall,
         "hbm_gbps_lower_bound": passage_bytes / device_total / 1e9,
         "hbm_peak_gbps": 819.0,  # v5e HBM bandwidth
+        # In this dev environment the device sits behind a network tunnel
+        # whose bulk-transfer throughput fluctuates (measured 0.05-1.1
+        # GB/s for identical 1-2 GB buffers); streamed_qps reflects that
+        # plus single-disk cold reads (~62 MB/s), not the search design.
+        # device_qps is the hardware-limited figure.
+        "note": "streamed_qps is tunnel/disk-bound in this environment",
     }
 
     # ---- recall-set contract vs a blocked numpy oracle (subset of queries)

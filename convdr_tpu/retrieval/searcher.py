@@ -136,16 +136,23 @@ class BlockedSearcher:
         ann_data_dir: str,
         query_embs: np.ndarray,
         top_n: int,
+        *,
+        max_blocks: Optional[int] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Search all blocks under ``ann_data_dir``; returns
         (scores [Q, top_n] desc, token-cache offsets [Q, top_n], -1 padded).
+
+        ``max_blocks`` limits the scan (e.g. a single-block compile warm-up
+        before a timed full sweep).
         """
         merged_s: Optional[jnp.ndarray] = None
         merged_i: Optional[jnp.ndarray] = None
         qn = query_embs.shape[0]
         t_start = time.time()
         prev_merged: Optional[jnp.ndarray] = None  # pipeline depth bound
-        for block_id, emb, emb2offset in iter_embedding_blocks(ann_data_dir):
+        for block_id, emb, emb2offset in iter_embedding_blocks(
+            ann_data_dir, max_blocks=max_blocks
+        ):
             if emb.shape[0] == 0:
                 logger.info("block %d is empty; skipping", block_id)
                 continue
