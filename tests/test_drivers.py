@@ -53,10 +53,20 @@ def test_01_tokenize_driver(workdir):
         "--model_type", "rdot_nll",
         "--max_seq_length", "32",
         "--num_workers", "2",
+        "--queries", str(workdir / "raw" / "queries.raw.tsv"),
+        "--max_query_length", "16",
     ])
     assert count == N_PASSAGES
     assert (workdir / "processed" / "passages").exists()
     assert (workdir / "processed" / "offset2pid.pickle").exists()
+    # --queries produced a query cache + persisted qid maps
+    from convdr_tpu.data.token_cache import TokenCache, load_query_id_maps
+
+    qbase = str(workdir / "processed" / "queries.raw")
+    qcache = TokenCache(qbase)
+    _qid2offset, offset2qid = load_query_id_maps(qbase)
+    assert len(qcache) == len(offset2qid) == len(TOPICS)
+    assert offset2qid[0] == "1_1"
 
 
 def test_02_train_driver(workdir):
