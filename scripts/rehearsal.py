@@ -53,24 +53,43 @@ FILLER = (
 ).split()
 
 
-def make_corpus(path: str, n_passages: int, topics, rng):
-    """Passages: each topic owns a handful of passages rich in its subject
-    words; the rest are background noise over the shared pool."""
-    import numpy as np
+OWNED_PER_TOPIC = 12
 
+
+def make_corpus(path: str, n_passages: int, topics, rng):
+    """Passages with CAsT-like structure: each topic owns
+    ``OWNED_PER_TOPIC`` passages rich in its subject words (so even a
+    random-init teacher embeds them measurably closer to the topic's
+    queries than background noise -- real score margins, not razor-thin
+    ones); the rest are background noise over the shared pool. Without
+    owned passages the teacher's top-3 are arbitrary word salads whose
+    margins vanish at 768-dim/50k scale, and no achievable KD fidelity
+    recovers them (measured: converged MSE 0.13 still scored ndcg 0)."""
     with open(path, "w") as f:
         for pid in range(n_passages):
+            topic_id = pid // OWNED_PER_TOPIC
+            subject = (
+                topics[topic_id].split() if topic_id < len(topics) else None
+            )
             words = []
-            for _ in range(30):
+            for i in range(30):
                 words.append(WORDS[rng.randint(len(WORDS))])
-                if rng.rand() < 0.3:
+                if subject is not None and rng.rand() < 0.35:
+                    words.append(subject[rng.randint(len(subject))])
+                if rng.rand() < 0.25:
                     words.append(FILLER[rng.randint(len(FILLER))])
             f.write(f"{pid}\t{' '.join(words)}\n")
 
 
 def make_topics(eval_path, queries_path, topics, turns, rng):
     """CAsT-shaped conversations: turn 0 states the subject; later turns
-    are elliptical follow-ups; `target` is always the full rewrite."""
+    are elliptical follow-ups; `target` is always the full rewrite.
+
+    Targets carry extra per-query subject-correlated words: a random-init
+    teacher's embeddings of short template sentences share a ~0.94 cosine
+    common component, which makes the constant-output student the
+    MSE-optimal degenerate basin (see PARITY.md); diverse target text
+    spreads the teacher space so input-following is rewarded."""
     with open(eval_path, "w") as ef, open(queries_path, "w") as qf:
         for t, subject in enumerate(topics):
             history = []
@@ -81,7 +100,13 @@ def make_topics(eval_path, queries_path, topics, turns, rng):
                     raw = f"tell me about {subject}"
                 else:
                     raw = f"what about its {aspect}"  # ellipsis: no subject
-                target = f"tell me about the {aspect} of {subject}"
+                # spread comes ONLY from words the conversation determines
+                # (subject + aspect), repeated -- unpredictable extra words
+                # would make the KD target unlearnable noise instead
+                target = (
+                    f"tell me about the {aspect} of {subject}: "
+                    f"{subject} {aspect}, {subject} {aspect}"
+                )
                 history.append(raw)
                 qid = f"{t + 1}_{turn + 1}"
                 ef.write(json.dumps({
@@ -178,16 +203,24 @@ def main(argv=None):
     parser.add_argument("--n_passages", type=int, default=50_000)
     parser.add_argument("--n_topics", type=int, default=48)
     parser.add_argument("--turns", type=int, default=4)
-    parser.add_argument("--steps", type=int, default=500)
+    parser.add_argument(
+        "--steps", type=int, default=None,
+        help="default: 2000 (base) / 500 (smoke)",
+    )
     parser.add_argument("--max_seq_length", type=int, default=128)
     parser.add_argument("--max_concat_length", type=int, default=96)
     parser.add_argument("--max_query_length", type=int, default=32)
     parser.add_argument("--dtype", default="bfloat16")
-    # KD to a random-init teacher needs the student to travel far; short
-    # schedules stall mid-flight in a collapsed-toward-the-mean state that
-    # scores WORSE than the untrained student (measured: 60 steps -> ndcg 0,
-    # 500 steps @3e-4 -> ndcg 0.61 vs 0.195 baseline on the smoke config).
-    parser.add_argument("--learning_rate", type=float, default=3e-4)
+    # KD to a random-init teacher is schedule-sensitive in BOTH directions:
+    # too short stalls mid-flight collapsed toward the mean (60 steps ->
+    # ndcg 0 on smoke); too hot at base scale kills input sensitivity
+    # entirely (3e-4 -> constant embeddings, ndcg 0 even after 3000 steps).
+    # Validated: tiny/smoke 3e-4 x 500 (ndcg 0.195 -> 0.61); RoBERTa-base
+    # 2e-5 x 2000 (ndcg 0.0165 -> 0.504, mrr 0.0415 -> 0.791 on v5e).
+    parser.add_argument(
+        "--learning_rate", type=float, default=None,
+        help="default: 2e-5 (base) / 3e-4 (smoke)",
+    )
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument(
         "--smoke", action="store_true",
@@ -205,6 +238,8 @@ def main(argv=None):
         args.n_passages = min(args.n_passages, 1500)
         args.n_topics = min(args.n_topics, 6)
         args.dtype = "float32"
+    args.steps = args.steps or (500 if args.smoke else 2000)
+    args.learning_rate = args.learning_rate or (3e-4 if args.smoke else 2e-5)
 
     import numpy as np
 
