@@ -38,6 +38,39 @@ logger = logging.getLogger(__name__)
 _UPLOAD_CHUNK_BYTES = 1 << 30
 
 
+def prefetch_iter(iterable, depth: int = 1):
+    """Run an iterator on a background thread, ``depth`` items ahead.
+
+    Overlaps the next block's disk read + unpickle (seconds for a
+    reference-scale block on a single disk) with the current block's
+    upload + device search. Read-only producer, bounded queue, exceptions
+    re-raised at the consumer.
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    done = object()
+
+    def worker():
+        try:
+            for item in iterable:
+                q.put(item)
+            q.put(done)
+        except BaseException as e:  # propagate into the consumer
+            q.put(("__prefetch_error__", e))
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is done:
+            break
+        if isinstance(item, tuple) and len(item) == 2 and item[0] == "__prefetch_error__":
+            raise item[1]
+        yield item
+
+
 def _device_put_padded(block_embs: np.ndarray, padded_n: int, dtype) -> jnp.ndarray:
     """Upload a [N, D] host block as [padded_n, D] of ``dtype`` on device.
 
@@ -150,8 +183,8 @@ class BlockedSearcher:
         qn = query_embs.shape[0]
         t_start = time.time()
         prev_merged: Optional[jnp.ndarray] = None  # pipeline depth bound
-        for block_id, emb, emb2offset in iter_embedding_blocks(
-            ann_data_dir, max_blocks=max_blocks
+        for block_id, emb, emb2offset in prefetch_iter(
+            iter_embedding_blocks(ann_data_dir, max_blocks=max_blocks)
         ):
             if emb.shape[0] == 0:
                 logger.info("block %d is empty; skipping", block_id)

@@ -169,3 +169,26 @@ def test_multi_block_search_set_exactness_large(tmp_path):
         assert set(i[qi].tolist()) == set(oi[qi].tolist())
     np.testing.assert_allclose(np.sort(s, axis=1), np.sort(os_, axis=1),
                                rtol=1e-6)
+
+
+def test_prefetch_iter_equivalence_and_errors():
+    from convdr_tpu.retrieval.searcher import prefetch_iter
+
+    assert list(prefetch_iter(iter(range(20)), depth=3)) == list(range(20))
+    assert list(prefetch_iter(iter([]))) == []
+
+    def boom():
+        yield 1
+        raise RuntimeError("disk gone")
+
+    out = []
+    try:
+        for x in prefetch_iter(boom()):
+            out.append(x)
+        assert False, "expected RuntimeError"
+    except RuntimeError as e:
+        assert "disk gone" in str(e) and out == [1]
+
+    # tuples that merely look like the error sentinel pass through
+    vals = [("__prefetch_error__x", 1), (1, 2)]
+    assert list(prefetch_iter(iter(vals))) == vals
