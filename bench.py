@@ -275,13 +275,49 @@ def bench_mfu() -> dict:
     flops = encoder_forward_flops(config.arch, batch, seq)
     achieved = flops / dt
     peak = 197e12  # v5e bf16 MXU peak
-    return {
+    out = {
         "encode_docs_per_s": batch / dt,
         "encode_ms_per_batch": dt * 1000,
         "encode_tflops": achieved / 1e12,
         "encode_mfu_vs_bf16_peak": achieved / peak,
         "flops_per_batch": flops,
     }
+
+    # ---- jitted KD train step (student fwd+bwd + frozen teacher fwd) ----
+    from convdr_tpu.core.config import TrainConfig
+    from convdr_tpu.train.trainer import create_train_state, make_train_step
+
+    tbatch, tseq = 32, 256
+    tcfg = TrainConfig(per_device_batch_size=tbatch, max_concat_length=tseq)
+    # the step donates state (incl. params); the teacher tree must be
+    # distinct buffers or the aliased donation poisons the TPU backend
+    # (CLAUDE.md "Perf facts")
+    teacher_params = jax.tree.map(jnp.copy, params)
+    state, tx = create_train_state(params, tcfg, total_steps=100)
+    step = make_train_step(apply_fn, apply_fn, tx, tcfg)
+    ids_t = jnp.asarray(rng.randint(4, 1000, size=(tbatch, tseq)), jnp.int32)
+    mask_t = jnp.ones((tbatch, tseq), jnp.int32)
+    train_b = {
+        "concat_ids": ids_t, "concat_mask": mask_t,
+        "target_ids": ids_t, "target_mask": mask_t,
+    }
+    t_iters = 8
+    state, _ = step(state, teacher_params, train_b)  # compile
+    jax.block_until_ready(state.params)
+    t0 = time.perf_counter()
+    for _ in range(t_iters):
+        state, m = step(state, teacher_params, train_b)
+    jax.block_until_ready(state.params)
+    t_dt = (time.perf_counter() - t0) / t_iters
+    # fwd+bwd ~= 3x fwd FLOPs for the student, + 1x fwd for the teacher
+    t_flops = 4 * encoder_forward_flops(config.arch, tbatch, tseq)
+    out.update({
+        "train_ms_per_step": t_dt * 1000,
+        "train_examples_per_s": tbatch / t_dt,
+        "train_tflops": t_flops / t_dt / 1e12,
+        "train_mfu_vs_bf16_peak": t_flops / t_dt / peak,
+    })
+    return out
 
 
 def main():

@@ -81,6 +81,32 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int64,
         ctypes.c_int,
     ]
+    lib.convdr_write_block_ex.restype = ctypes.c_int
+    lib.convdr_write_block_ex.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+    ]
+    lib.convdr_read_block_header_ex.restype = ctypes.c_int
+    lib.convdr_read_block_header_ex.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.convdr_read_block_ex.restype = ctypes.c_int
+    lib.convdr_read_block_ex.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int,
+    ]
     lib.convdr_merge_splits.restype = ctypes.c_int64
     lib.convdr_merge_splits.argtypes = [
         ctypes.POINTER(ctypes.c_char_p),
@@ -124,21 +150,47 @@ _HEADER_BYTES = 32
 _MAGIC = 0x434E5642304B4C42
 
 
+def _block_dtype_code(dtype: np.dtype):
+    """numpy dtype -> header dtype code (0 = f32, 1 = bf16)."""
+    import ml_dtypes
+
+    dtype = np.dtype(dtype)
+    if dtype == np.float32:
+        return 0, dtype
+    if dtype == np.dtype(ml_dtypes.bfloat16):
+        return 1, dtype
+    raise ValueError(f"native block store supports f32/bf16, not {dtype}")
+
+
+def _block_dtype_from_code(code: int) -> np.dtype:
+    import ml_dtypes
+
+    if code == 0:
+        return np.dtype(np.float32)
+    if code == 1:
+        return np.dtype(ml_dtypes.bfloat16)
+    raise IOError(f"unknown native-block dtype code {code}")
+
+
 def write_native_block(path: str, emb: np.ndarray, ids: np.ndarray) -> None:
-    emb = np.ascontiguousarray(emb, np.float32)
+    """Raw block store write; dtype (f32/bf16) recorded in the header."""
+    emb = np.ascontiguousarray(emb)
+    if emb.dtype == np.float64:
+        emb = emb.astype(np.float32)
+    code, _ = _block_dtype_code(emb.dtype)
     ids = np.ascontiguousarray(ids, np.int64)
     rows, dim = emb.shape
     lib = _load()
     if lib is not None:
-        rc = lib.convdr_write_block(
-            path.encode(), _fp(emb), _ip(ids), rows, dim
+        rc = lib.convdr_write_block_ex(
+            path.encode(), emb.ctypes.data, _ip(ids), rows, dim, code
         )
         if rc != 0:
-            raise IOError(f"convdr_write_block({path}) failed: rc={rc}")
+            raise IOError(f"convdr_write_block_ex({path}) failed: rc={rc}")
         return
     with open(path, "wb") as f:  # python fallback, same byte layout
         f.write(
-            np.asarray([_MAGIC, rows, dim, 0], np.uint64).tobytes()
+            np.asarray([_MAGIC, rows, dim, code], np.uint64).tobytes()
         )
         f.write(emb.tobytes())
         f.write(ids.tobytes())
@@ -151,16 +203,18 @@ def read_native_block(
     if lib is not None:
         rows = ctypes.c_int64()
         dim = ctypes.c_int64()
-        rc = lib.convdr_read_block_header(
-            path.encode(), ctypes.byref(rows), ctypes.byref(dim)
+        code = ctypes.c_int64()
+        rc = lib.convdr_read_block_header_ex(
+            path.encode(), ctypes.byref(rows), ctypes.byref(dim),
+            ctypes.byref(code),
         )
         if rc != 0:
             raise IOError(f"convdr_read_block_header({path}) failed: rc={rc}")
-        emb = np.empty((rows.value, dim.value), np.float32)
+        emb = np.empty((rows.value, dim.value), _block_dtype_from_code(code.value))
         ids = np.empty(rows.value, np.int64)
-        rc = lib.convdr_read_block(
-            path.encode(), _fp(emb), _ip(ids), rows.value, dim.value,
-            num_threads,
+        rc = lib.convdr_read_block_ex(
+            path.encode(), emb.ctypes.data, _ip(ids), rows.value, dim.value,
+            code.value, num_threads,
         )
         if rc != 0:
             raise IOError(f"convdr_read_block({path}) failed: rc={rc}")
@@ -170,9 +224,10 @@ def read_native_block(
         if header[0] != _MAGIC:
             raise IOError(f"{path} is not a convdr native block")
         rows, dim = int(header[1]), int(header[2])
-        emb = np.frombuffer(f.read(rows * dim * 4), np.float32).reshape(
-            rows, dim
-        )
+        dtype = _block_dtype_from_code(int(header[3]))
+        emb = np.frombuffer(
+            f.read(rows * dim * dtype.itemsize), dtype
+        ).reshape(rows, dim)
         ids = np.frombuffer(f.read(rows * 8), np.int64)
         return emb.copy(), ids.copy()
 

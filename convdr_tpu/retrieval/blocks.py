@@ -51,10 +51,9 @@ def write_embedding_block(
     """fmt="pickle" writes reference-compatible files; fmt="native" writes
     one .cnb file via the C++ block store (faster load on the serving path).
 
-    Embedding dtype is preserved for 16/32-bit floats (bf16 storage halves
-    disk + HBM for capacity-mode search, SearchConfig.storage_dtype);
-    float64 is downcast to the reference's float32. The native .cnb format
-    is f32-only.
+    Embedding dtype is preserved for f32/bf16 in BOTH formats (bf16 storage
+    halves disk + HBM for capacity-mode search, SearchConfig.storage_dtype);
+    float64 is downcast to the reference's float32.
     """
     os.makedirs(data_dir, exist_ok=True)
     emb = np.asarray(embeddings)
@@ -65,7 +64,7 @@ def write_embedding_block(
 
         write_native_block(
             _native_path(data_dir, block_id),
-            emb.astype(np.float32),
+            emb,
             np.asarray(offsets, np.int64),
         )
         return

@@ -201,11 +201,6 @@ def generate_embeddings(
         import ml_dtypes
 
         storage_np = np.dtype(ml_dtypes.bfloat16)
-        if block_format == "native":
-            raise ValueError(
-                "the native .cnb block store is f32-only; use the pickle "
-                "format for bfloat16 storage"
-            )
     if length_buckets is not None:
         length_buckets = tuple(sorted(length_buckets))
         if length_buckets[-1] < cache.max_seq_length:

@@ -33,20 +33,29 @@ struct BlockHeader {
   uint64_t magic;
   int64_t rows;
   int64_t dim;
-  int64_t reserved;
+  // dtype code: 0 = float32 (original format; field was "reserved"),
+  // 1 = bfloat16 (capacity mode, raw 2-byte elements).
+  int64_t dtype_code;
 };
+
+static int64_t convdr_elem_bytes(int64_t dtype_code) {
+  return dtype_code == 1 ? 2 : 4;
+}
 
 // ---------------------------------------------------------------------------
 // Embedding block store
 // ---------------------------------------------------------------------------
-int convdr_write_block(const char* path, const float* emb, const int64_t* ids,
-                       int64_t rows, int64_t dim) {
+int convdr_write_block_ex(const char* path, const void* emb,
+                          const int64_t* ids, int64_t rows, int64_t dim,
+                          int64_t dtype_code) {
+  if (dtype_code != 0 && dtype_code != 1) return 6;
   FILE* f = std::fopen(path, "wb");
   if (!f) return 1;
-  BlockHeader hdr{kMagic, rows, dim, 0};
+  BlockHeader hdr{kMagic, rows, dim, dtype_code};
   if (std::fwrite(&hdr, sizeof(hdr), 1, f) != 1) { std::fclose(f); return 2; }
-  const size_t emb_count = static_cast<size_t>(rows) * dim;
-  if (emb_count && std::fwrite(emb, sizeof(float), emb_count, f) != emb_count) {
+  const size_t emb_bytes = static_cast<size_t>(rows) * dim *
+                           static_cast<size_t>(convdr_elem_bytes(dtype_code));
+  if (emb_bytes && std::fwrite(emb, 1, emb_bytes, f) != emb_bytes) {
     std::fclose(f);
     return 3;
   }
@@ -58,7 +67,13 @@ int convdr_write_block(const char* path, const float* emb, const int64_t* ids,
   return std::fclose(f) == 0 ? 0 : 5;
 }
 
-int convdr_read_block_header(const char* path, int64_t* rows, int64_t* dim) {
+int convdr_write_block(const char* path, const float* emb, const int64_t* ids,
+                       int64_t rows, int64_t dim) {
+  return convdr_write_block_ex(path, emb, ids, rows, dim, 0);
+}
+
+int convdr_read_block_header_ex(const char* path, int64_t* rows, int64_t* dim,
+                                int64_t* dtype_code) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return 1;
   BlockHeader hdr;
@@ -68,25 +83,33 @@ int convdr_read_block_header(const char* path, int64_t* rows, int64_t* dim) {
   }
   *rows = hdr.rows;
   *dim = hdr.dim;
+  *dtype_code = hdr.dtype_code;
   std::fclose(f);
   return 0;
 }
 
+int convdr_read_block_header(const char* path, int64_t* rows, int64_t* dim) {
+  int64_t dtype_code = 0;
+  return convdr_read_block_header_ex(path, rows, dim, &dtype_code);
+}
+
 // Multithreaded read of the embedding matrix + ids into caller buffers.
-int convdr_read_block(const char* path, float* emb_out, int64_t* ids_out,
-                      int64_t rows, int64_t dim, int num_threads) {
+// The caller's buffer must match the header's dtype (checked).
+int convdr_read_block_ex(const char* path, void* emb_out, int64_t* ids_out,
+                         int64_t rows, int64_t dim, int64_t dtype_code,
+                         int num_threads) {
   FILE* probe = std::fopen(path, "rb");
   if (!probe) return 1;
   BlockHeader hdr;
   if (std::fread(&hdr, sizeof(hdr), 1, probe) != 1 || hdr.magic != kMagic ||
-      hdr.rows != rows || hdr.dim != dim) {
+      hdr.rows != rows || hdr.dim != dim || hdr.dtype_code != dtype_code) {
     std::fclose(probe);
     return 2;
   }
   std::fclose(probe);
 
   if (num_threads < 1) num_threads = 1;
-  const int64_t emb_bytes = rows * dim * static_cast<int64_t>(sizeof(float));
+  const int64_t emb_bytes = rows * dim * convdr_elem_bytes(dtype_code);
   const int64_t emb_off = sizeof(BlockHeader);
   std::atomic<int> err{0};
 
@@ -121,6 +144,12 @@ int convdr_read_block(const char* path, float* emb_out, int64_t* ids_out,
   read_range(emb_off + emb_bytes, rows * static_cast<int64_t>(sizeof(int64_t)),
              reinterpret_cast<char*>(ids_out));
   return err.load();
+}
+
+int convdr_read_block(const char* path, float* emb_out, int64_t* ids_out,
+                      int64_t rows, int64_t dim, int num_threads) {
+  return convdr_read_block_ex(path, emb_out, ids_out, rows, dim, 0,
+                              num_threads);
 }
 
 // ---------------------------------------------------------------------------

@@ -117,3 +117,57 @@ def test_merge_topk_host_matches_device_merge(rng):
     )
     np.testing.assert_array_equal(s_c, np.asarray(s_j))
     np.testing.assert_array_equal(i_c, np.asarray(i_j))
+
+
+@pytest.mark.parametrize("use_lib", [True, False])
+def test_native_block_bf16_roundtrip(tmp_path, monkeypatch, use_lib, rng):
+    """bf16 blocks round-trip bit-exactly through the native store, via the
+    C library and the byte-compatible python fallback."""
+    import ml_dtypes
+
+    from convdr_tpu import native_io
+
+    if not use_lib:
+        monkeypatch.setattr(native_io, "_load", lambda: None)
+    emb = rng.randn(37, 16).astype(np.float32).astype(ml_dtypes.bfloat16)
+    ids = np.arange(100, 137, dtype=np.int64)
+    path = str(tmp_path / f"blk_{use_lib}.cnb")
+    native_io.write_native_block(path, emb, ids)
+    got_emb, got_ids = native_io.read_native_block(path)
+    assert got_emb.dtype == np.dtype(ml_dtypes.bfloat16)
+    assert np.array_equal(got_emb.view(np.uint16), emb.view(np.uint16))
+    assert np.array_equal(got_ids, ids)
+
+
+def test_native_block_bf16_cross_impl(tmp_path, monkeypatch, rng):
+    """Written by the C library, read by the python fallback (and back)."""
+    import ml_dtypes
+
+    from convdr_tpu import native_io
+
+    if native_io._load() is None:
+        pytest.skip("native library unavailable")
+    emb = rng.randn(9, 8).astype(np.float32).astype(ml_dtypes.bfloat16)
+    ids = np.arange(9, dtype=np.int64)
+    p1 = str(tmp_path / "by_c.cnb")
+    native_io.write_native_block(p1, emb, ids)
+    monkeypatch.setattr(native_io, "_load", lambda: None)
+    e1, i1 = native_io.read_native_block(p1)
+    assert np.array_equal(e1.view(np.uint16), emb.view(np.uint16))
+    p2 = str(tmp_path / "by_py.cnb")
+    native_io.write_native_block(p2, emb, ids)
+    monkeypatch.undo()
+    e2, i2 = native_io.read_native_block(p2)
+    assert np.array_equal(e2.view(np.uint16), emb.view(np.uint16))
+    assert np.array_equal(i2, ids)
+
+
+def test_native_block_rejects_unknown_dtype(tmp_path):
+    from convdr_tpu import native_io
+
+    with pytest.raises(ValueError, match="f32/bf16"):
+        native_io.write_native_block(
+            str(tmp_path / "x.cnb"),
+            np.zeros((2, 2), np.int32),
+            np.zeros(2, np.int64),
+        )
