@@ -47,86 +47,93 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
-        if not os.path.exists(os.path.join(_NATIVE_DIR, "convdr_native.cpp")):
-            return None
-        if not _build():
-            return None
+    src = os.path.join(_NATIVE_DIR, "convdr_native.cpp")
+    if not os.path.exists(src):
+        return None
+    # `make -s` is a ~ms no-op when fresh and rebuilds a stale .so whose
+    # symbol table predates newer entry points (ctypes would otherwise
+    # raise AttributeError on setup below).
+    if not _build() and not os.path.exists(_LIB_PATH):
+        return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError as e:
         logger.warning("cannot load %s: %s", _LIB_PATH, e)
         return None
 
-    lib.convdr_write_block.restype = ctypes.c_int
-    lib.convdr_write_block.argtypes = [
-        ctypes.c_char_p,
-        ctypes.POINTER(ctypes.c_float),
-        ctypes.POINTER(ctypes.c_int64),
-        ctypes.c_int64,
-        ctypes.c_int64,
-    ]
-    lib.convdr_read_block_header.restype = ctypes.c_int
-    lib.convdr_read_block_header.argtypes = [
-        ctypes.c_char_p,
-        ctypes.POINTER(ctypes.c_int64),
-        ctypes.POINTER(ctypes.c_int64),
-    ]
-    lib.convdr_read_block.restype = ctypes.c_int
-    lib.convdr_read_block.argtypes = [
-        ctypes.c_char_p,
-        ctypes.POINTER(ctypes.c_float),
-        ctypes.POINTER(ctypes.c_int64),
-        ctypes.c_int64,
-        ctypes.c_int64,
-        ctypes.c_int,
-    ]
-    lib.convdr_write_block_ex.restype = ctypes.c_int
-    lib.convdr_write_block_ex.argtypes = [
-        ctypes.c_char_p,
-        ctypes.c_void_p,
-        ctypes.POINTER(ctypes.c_int64),
-        ctypes.c_int64,
-        ctypes.c_int64,
-        ctypes.c_int64,
-    ]
-    lib.convdr_read_block_header_ex.restype = ctypes.c_int
-    lib.convdr_read_block_header_ex.argtypes = [
-        ctypes.c_char_p,
-        ctypes.POINTER(ctypes.c_int64),
-        ctypes.POINTER(ctypes.c_int64),
-        ctypes.POINTER(ctypes.c_int64),
-    ]
-    lib.convdr_read_block_ex.restype = ctypes.c_int
-    lib.convdr_read_block_ex.argtypes = [
-        ctypes.c_char_p,
-        ctypes.c_void_p,
-        ctypes.POINTER(ctypes.c_int64),
-        ctypes.c_int64,
-        ctypes.c_int64,
-        ctypes.c_int64,
-        ctypes.c_int,
-    ]
-    lib.convdr_merge_splits.restype = ctypes.c_int64
-    lib.convdr_merge_splits.argtypes = [
-        ctypes.POINTER(ctypes.c_char_p),
-        ctypes.c_int,
-        ctypes.c_char_p,
-        ctypes.c_int64,
-        ctypes.POINTER(ctypes.c_int64),
-        ctypes.c_int64,
-    ]
-    lib.convdr_merge_topk.restype = None
-    lib.convdr_merge_topk.argtypes = [
-        ctypes.POINTER(ctypes.c_float),
-        ctypes.POINTER(ctypes.c_int64),
-        ctypes.POINTER(ctypes.c_float),
-        ctypes.POINTER(ctypes.c_int64),
-        ctypes.c_int64,
-        ctypes.c_int64,
-        ctypes.POINTER(ctypes.c_float),
-        ctypes.POINTER(ctypes.c_int64),
-    ]
+    try:
+        lib.convdr_write_block.restype = ctypes.c_int
+        lib.convdr_write_block.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int64,
+        ]
+        lib.convdr_read_block_header.restype = ctypes.c_int
+        lib.convdr_read_block_header.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.convdr_read_block.restype = ctypes.c_int
+        lib.convdr_read_block.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int,
+        ]
+        lib.convdr_write_block_ex.restype = ctypes.c_int
+        lib.convdr_write_block_ex.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+        ]
+        lib.convdr_read_block_header_ex.restype = ctypes.c_int
+        lib.convdr_read_block_header_ex.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.convdr_read_block_ex.restype = ctypes.c_int
+        lib.convdr_read_block_ex.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int,
+        ]
+        lib.convdr_merge_splits.restype = ctypes.c_int64
+        lib.convdr_merge_splits.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int,
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+        ]
+        lib.convdr_merge_topk.restype = None
+        lib.convdr_merge_topk.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+    except AttributeError as e:
+        logger.warning("stale native library at %s: %s", _LIB_PATH, e)
+        return None
     _lib = lib
     return _lib
 
