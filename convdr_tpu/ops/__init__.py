@@ -1,5 +1,10 @@
 from convdr_tpu.ops.exact_search import (  # noqa: F401
     flat_ip_topk,
+    grouped_topk_last_axis,
     merge_topk,
     topk_oracle,
+)
+from convdr_tpu.ops.pallas_search import (  # noqa: F401
+    pallas_flat_ip_topk,
+    streaming_flat_ip_topk,
 )

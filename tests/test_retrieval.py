@@ -192,3 +192,34 @@ def test_prefetch_iter_equivalence_and_errors():
     # tuples that merely look like the error sentinel pass through
     vals = [("__prefetch_error__x", 1), (1, 2)]
     assert list(prefetch_iter(iter(vals))) == vals
+
+
+def test_sharded_bf16_multiblock_matches_oracle(tmp_path, rng):
+    """Mesh-sharded search over bf16 multi-block storage: recall sets equal
+    a bf16-rounded numpy oracle (capacity mode on the index axis)."""
+    import ml_dtypes
+
+    from convdr_tpu.core.config import SearchConfig
+    from convdr_tpu.parallel.mesh import get_mesh
+    from convdr_tpu.retrieval.blocks import write_embedding_block
+    from convdr_tpu.retrieval.searcher import BlockedSearcher
+
+    mesh = get_mesh(("index",))
+    p = rng.randn(600, 24).astype(np.float32)
+    q = rng.randn(6, 24).astype(np.float32)
+    for b in range(3):
+        seg = p[b * 200:(b + 1) * 200]
+        write_embedding_block(
+            str(tmp_path), b, seg.astype(ml_dtypes.bfloat16),
+            np.arange(b * 200, (b + 1) * 200),
+        )
+    searcher = BlockedSearcher(
+        SearchConfig(top_n=25, storage_dtype="bfloat16",
+                     passage_block_size=256),
+        mesh=mesh,
+    )
+    s, offs = searcher.search_blocks(str(tmp_path), q, 25)
+    scores = q @ p.astype(ml_dtypes.bfloat16).astype(np.float32).T
+    ref = np.argsort(-scores, axis=1, kind="stable")[:, :25]
+    for r in range(6):
+        assert set(offs[r]) == set(ref[r]), r
