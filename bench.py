@@ -45,7 +45,7 @@ def bench_tpu(queries: np.ndarray, passages: np.ndarray) -> float:
     q = jnp.asarray(queries)
     p = jnp.asarray(passages)
 
-    block_rows = min(N_PASSAGES, 524288)
+    block_rows = min(N_PASSAGES, 1048576)
 
     @jax.jit
     def repeat(q, p):

@@ -145,7 +145,13 @@ class SearchConfig:
 
     top_n: int = 100
     embedding_dim: int = 768
-    passage_block_size: int = 65536  # passages per scan block on one device
+    # Passages per scan block on one device. Bigger is faster until the
+    # [Q, block] f32 score buffer pressures HBM: measured v5e at 1M rows /
+    # 512 queries: 56.6 / 51.3 / 44.3 ms per search at 256k / 524k / 1M
+    # scan blocks (each halving of the block count drops one selection +
+    # merge pass). 524288 (= 1 GB of scores at Q=512) leaves room for
+    # streamed block buffers alongside; raise it for HBM-resident corpora.
+    passage_block_size: int = 524288
     storage_dtype: str = "float32"  # embedding block storage on HBM
     # "highest" = oracle-bit-exact (FAISS-parity); "high"/"default" trade
     # ~2e-3 score error for matmul speed (see ops/exact_search.py)
