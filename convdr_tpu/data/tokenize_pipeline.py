@@ -196,7 +196,11 @@ def tokenize_queries_file(
                 parts = line.strip().split("\t")
                 if len(parts) < 2:
                     continue
-                qid = parts[0]
+                # Reference QueryPreprocessingFn casts qid to int
+                # (tokenizing.py:123); keep that typing for purely numeric
+                # ids so persisted maps interoperate with reference-typed
+                # consumers, but preserve CAsT-style ids like "31_4" as str.
+                qid = int(parts[0]) if parts[0].isdigit() else parts[0]
                 ids = tokenizer.encode(
                     parts[1].rstrip(),
                     add_special_tokens=True,

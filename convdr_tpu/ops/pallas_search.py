@@ -234,7 +234,7 @@ def streaming_groupmax(
     passages: jnp.ndarray,
     *,
     group: int = 128,
-    tile_rows: int = 1024,
+    tile_rows: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Group maxima [Q, N/group] with ONE HBM pass over the passages.
@@ -243,6 +243,11 @@ def streaming_groupmax(
     the [Q, B] score matrix is never written to HBM -- only the [Q, N/G]
     maxima (a 1/G fraction) leave the chip. This is the HBM-minimal scoring
     pass the round-1 kernel's docstring promised (VERDICT r1 N1).
+
+    VMEM constraint (measured on v5e): at the standard Q=512 operating
+    point, ``tile_rows`` must be <= 512 -- the [Q, tile] f32 score tile plus
+    the passage tile overflow the 16 MB scoped VMEM limit at tile_rows=1024.
+    The default is therefore 512; raise it only for small query batches.
     """
     qn, d = queries.shape
     n = passages.shape[0]

@@ -51,24 +51,41 @@ def prefetch_iter(iterable, depth: int = 1):
 
     q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
     done = object()
+    closed = threading.Event()  # consumer gone: producer must not block on put
+
+    def put_checked(item) -> bool:
+        while not closed.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in iterable:
-                q.put(item)
-            q.put(done)
+                if not put_checked(item):
+                    return
+            put_checked(done)
         except BaseException as e:  # propagate into the consumer
-            q.put(("__prefetch_error__", e))
+            put_checked(("__prefetch_error__", e))
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is done:
-            break
-        if isinstance(item, tuple) and len(item) == 2 and item[0] == "__prefetch_error__":
-            raise item[1]
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is done:
+                break
+            if isinstance(item, tuple) and len(item) == 2 and item[0] == "__prefetch_error__":
+                raise item[1]
+            yield item
+    finally:
+        # Abandoned early (exception in the consumer, generator GC'd):
+        # unblock the producer so it exits instead of holding GB-scale
+        # blocks alive for the life of the process.
+        closed.set()
 
 
 def _device_put_padded(block_embs: np.ndarray, padded_n: int, dtype) -> jnp.ndarray:

@@ -35,7 +35,9 @@ def pad_rows(arr: np.ndarray, total_rows: int) -> np.ndarray:
         )
     out = np.zeros((total_rows, *arr.shape[1:]), arr.dtype)
     src = np.ascontiguousarray(arr)
-    out.view(np.uint8)[:n] = src.view(np.uint8)
+    # Byte views of a 1-D array flatten rows into a single byte axis, so a
+    # [:n] slice would take n BYTES; reshape to one row per byte-row first.
+    out.view(np.uint8).reshape(total_rows, -1)[:n] = src.view(np.uint8).reshape(n, -1)
     return out
 
 

@@ -38,3 +38,12 @@ def test_concat_rows_matches_numpy(rng):
         ref = np.concatenate([p.astype(np.float32) for p in parts])
         assert got.dtype == np.dtype(dt)
         assert np.array_equal(got.astype(np.float32), ref)
+
+
+def test_pad_rows_1d_bf16(rng):
+    """1-D non-native arrays pad by ROWS, not bytes (ADVICE r2)."""
+    a = rng.randn(5).astype(np.float32).astype(ml_dtypes.bfloat16)
+    out = pad_rows(a, 9)
+    assert out.shape == (9,)
+    assert np.array_equal(out[:5].astype(np.float32), a.astype(np.float32))
+    assert not out[5:].astype(np.float32).any()

@@ -194,6 +194,34 @@ def test_prefetch_iter_equivalence_and_errors():
     assert list(prefetch_iter(iter(vals))) == vals
 
 
+def test_prefetch_iter_abandoned_consumer_stops_producer():
+    """If the consumer abandons the generator early, the producer thread
+    must exit instead of blocking on a full queue forever (ADVICE r2)."""
+    import threading
+    import time
+
+    from convdr_tpu.retrieval.searcher import prefetch_iter
+
+    produced = []
+    alive = threading.Event()
+    alive.set()
+
+    def source():
+        for i in range(1000):
+            produced.append(i)
+            yield i
+        alive.clear()
+
+    g = prefetch_iter(source(), depth=1)
+    assert next(g) == 0
+    g.close()  # GeneratorExit inside the yield loop -> finally -> closed
+    deadline = time.time() + 5.0
+    while time.time() < deadline and threading.active_count() > 1:
+        time.sleep(0.05)
+    # producer stopped early: it never drained the whole source
+    assert len(produced) < 1000
+
+
 def test_sharded_bf16_multiblock_matches_oracle(tmp_path, rng):
     """Mesh-sharded search over bf16 multi-block storage: recall sets equal
     a bf16-rounded numpy oracle (capacity mode on the index axis)."""

@@ -69,6 +69,33 @@ def test_sharded_iteration(cache_path):
     assert sorted(seen) == list(range(10))
 
 
+def test_seeded_permutation_iteration(cache_path):
+    """shuffle_seed iterates a seeded permutation of the cache, matching the
+    reference EmbeddingCache's seed>=0 order (util.py:364-368,398-402)."""
+    cache = TokenCache(cache_path)
+    seen = []
+    for ids, lens, offsets in cache.iter_batches(4, shuffle_seed=7):
+        seen.extend(int(o) for o in offsets if o >= 0)
+    expect = list(np.random.RandomState(7).permutation(10))
+    assert seen == expect
+    assert sorted(seen) == list(range(10))
+    # rows decode to the permuted records
+    first = next(iter(cache.iter_batches(4, shuffle_seed=7)))
+    ids, lens, offsets = first
+    for row in range(4):
+        n, rec = cache[int(offsets[row])]
+        assert n == lens[row]
+        assert list(rec) == list(ids[row])
+    # sharded + shuffled still covers every row exactly once
+    seen = []
+    for shard in range(3):
+        for _, _, offs in cache.iter_batches(
+            4, shard_index=shard, num_shards=3, shuffle_seed=7
+        ):
+            seen.extend(int(o) for o in offs if o >= 0)
+    assert sorted(seen) == list(range(10))
+
+
 def test_id_maps(tmp_path):
     save_id_maps(str(tmp_path), [7, 3, 9])
     assert load_offset2pid(str(tmp_path)) == [7, 3, 9]
@@ -83,7 +110,9 @@ def test_query_cache_roundtrip(tmp_path):
 
     tok = load_tokenizer("roberta", "tiny")
     qpath = tmp_path / "queries.dev.tsv"
-    queries = [("1_1", "tell me about cats"), ("2_1", "dogs are loud"),
+    # numeric qids coerce to int (reference tokenizing.py:123 typing);
+    # CAsT-style composite ids stay str
+    queries = [(123, "tell me about cats"), ("2_1", "dogs are loud"),
                ("31_4", "more cats please")]
     with open(qpath, "w") as f:
         for qid, text in queries:
