@@ -142,6 +142,7 @@ class TokenCache:
         shard_index: int = 0,
         num_shards: int = 1,
         pad_to_full: bool = True,
+        shuffle_seed: Optional[int] = None,
     ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
         """Yield (ids, lengths, row_offsets) batches for one data shard.
 
@@ -151,8 +152,21 @@ class TokenCache:
         into the same global order. Final partial batches are padded with
         repeated last rows (row_offsets mark validity with -1) to keep shapes
         static under jit.
+
+        ``shuffle_seed`` iterates a seeded permutation of the FULL cache
+        before shard filtering -- the reference EmbeddingCache's ``seed >= 0``
+        iteration order (utils/util.py:364-368,398-402), so all shards see
+        the same global permutation.
         """
-        rows = np.arange(shard_index, self.total_number, num_shards, dtype=np.int64)
+        if shuffle_seed is not None:
+            perm = np.random.RandomState(shuffle_seed).permutation(
+                self.total_number
+            ).astype(np.int64)
+            rows = perm[shard_index::num_shards]
+        else:
+            rows = np.arange(
+                shard_index, self.total_number, num_shards, dtype=np.int64
+            )
         for i in range(0, len(rows), batch_size):
             chunk = rows[i : i + batch_size]
             valid = len(chunk)

@@ -35,6 +35,16 @@ from convdr_tpu.utils.observability import MetricsLogger
 logger = logging.getLogger(__name__)
 
 
+def _sampling_rng(seed: int, micro_step: int) -> np.random.RandomState:
+    """Negative-sampling RNG for one micro-step, derived from
+    ``(seed, micro_step)`` so a resumed run draws the SAME negatives at the
+    same step as an uninterrupted one (the fast-forward skip loop consumes
+    no RNG state)."""
+    return np.random.RandomState(
+        np.random.MT19937(np.random.SeedSequence((seed, micro_step)))
+    )
+
+
 def _device_batch(batch: Dict, config: TrainConfig, doc_cache, rng):
     out = {
         "concat_ids": jnp.asarray(batch["concat_ids"]),
@@ -74,9 +84,10 @@ def train_one_model(
     (params + optimizer state + step) and continues until the original
     ``t_total`` -- a capability the reference lacks entirely (its optimizer
     state is saved for dpr but never reloaded, SURVEY.md §5.4). Batch order
-    is re-derived from the epoch seed, so a resumed run revisits the epoch
-    from its start but optimizer momentum and the LR schedule continue
-    exactly.
+    is re-derived from the epoch seed and the ranking-task negative sample
+    is re-derived from ``(seed, micro_step)``, so a resumed run is
+    bit-identical to an uninterrupted one: same batches, same negatives,
+    same loss trace (tested in test_train.py).
     """
     batch_size = config.per_device_batch_size * max(1, n_devices)
     if len(dataset) < batch_size:
@@ -117,7 +128,6 @@ def train_one_model(
         if config.ranking_task
         else None
     )
-    rng = np.random.RandomState(config.seed)
 
     logger.info(
         "***** Running training ***** examples=%d epochs=%d batch=%d total_steps=%d",
@@ -144,7 +154,9 @@ def train_one_model(
                 # the data coverage matches an uninterrupted run
                 micro_step += 1
                 continue
-            dev_batch = _device_batch(batch, config, doc_cache, rng)
+            dev_batch = _device_batch(
+                batch, config, doc_cache, _sampling_rng(config.seed, micro_step)
+            )
             state, m = step_fn(state, teacher_params, dev_batch)
             micro_step += 1
             for k, v in m.items():
