@@ -8,7 +8,12 @@ the CPU baseline is the same exact computation (matmul + top-k) through
 torch-CPU -- FlatIP search *is* a GEMM + partial sort, so this tracks the
 FAISS flat kernel closely.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The FIRST printed line is the headline JSON record
+{"metric", "value", "unit", "vs_baseline"}; the default run then emits
+additional one-line JSON records for the 1M-row search QPS and the
+encode/train MFU so the official BENCH_r{N} artifact reflects the full
+measured performance surface (VERDICT r2 #9). ``--headline_only`` restores
+the single-line emission.
 """
 
 from __future__ import annotations
@@ -29,7 +34,13 @@ TPU_ITERS = 128
 CPU_ITERS = 3
 
 
-def bench_tpu(queries: np.ndarray, passages: np.ndarray) -> float:
+def bench_tpu(
+    queries: np.ndarray,
+    passages: np.ndarray,
+    *,
+    iters: int = TPU_ITERS,
+    profile_dir: str = "",
+) -> float:
     """Device-side throughput: the search repeated inside ONE jitted loop.
 
     Host-side per-call timing measures the dispatch tunnel (~30 ms RTT in
@@ -41,11 +52,12 @@ def bench_tpu(queries: np.ndarray, passages: np.ndarray) -> float:
     import jax.numpy as jnp
 
     from convdr_tpu.ops.exact_search import flat_ip_topk
+    from convdr_tpu.utils.observability import profile_trace
 
     q = jnp.asarray(queries)
     p = jnp.asarray(passages)
 
-    block_rows = min(N_PASSAGES, 1048576)
+    block_rows = min(passages.shape[0], 1048576)
 
     @jax.jit
     def repeat(q, p):
@@ -54,12 +66,13 @@ def bench_tpu(queries: np.ndarray, passages: np.ndarray) -> float:
             qq = q + i.astype(jnp.float32) * 1e-8
             s, idx = flat_ip_topk(qq, p, TOP_K, block_rows=block_rows)
             return acc + s[0, 0] + idx[0, 0].astype(jnp.float32)
-        return jax.lax.fori_loop(0, TPU_ITERS, body, 0.0)
+        return jax.lax.fori_loop(0, iters, body, 0.0)
 
     float(repeat(q, p))  # compile + warm
-    t0 = time.perf_counter()
-    float(repeat(q, p))  # read-back closes the timing
-    dt = (time.perf_counter() - t0) / TPU_ITERS
+    with profile_trace(profile_dir):
+        t0 = time.perf_counter()
+        float(repeat(q, p))  # read-back closes the timing
+        dt = (time.perf_counter() - t0) / iters
     return N_QUERIES / dt
 
 
@@ -233,7 +246,7 @@ def encoder_forward_flops(arch, batch: int, seq: int) -> float:
     return float(batch) * (L * per_layer + head)
 
 
-def bench_mfu() -> dict:
+def bench_mfu(profile_dir: str = "") -> dict:
     """Roofline framing for the two compute-bound paths (VERDICT r1 #8):
 
       * corpus encode (RoBERTa-base body_emb, bf16, tuned flash-attention +
@@ -301,14 +314,17 @@ def bench_mfu() -> dict:
         "concat_ids": ids_t, "concat_mask": mask_t,
         "target_ids": ids_t, "target_mask": mask_t,
     }
+    from convdr_tpu.utils.observability import profile_trace
+
     t_iters = 8
     state, _ = step(state, teacher_params, train_b)  # compile
     jax.block_until_ready(state.params)
-    t0 = time.perf_counter()
-    for _ in range(t_iters):
-        state, m = step(state, teacher_params, train_b)
-    jax.block_until_ready(state.params)
-    t_dt = (time.perf_counter() - t0) / t_iters
+    with profile_trace(profile_dir):
+        t0 = time.perf_counter()
+        for _ in range(t_iters):
+            state, m = step(state, teacher_params, train_b)
+        jax.block_until_ready(state.params)
+        t_dt = (time.perf_counter() - t0) / t_iters
     # fwd+bwd ~= 3x fwd FLOPs for the student, + 1x fwd for the teacher
     t_flops = 4 * encoder_forward_flops(config.arch, tbatch, tseq)
     out.update({
@@ -349,23 +365,20 @@ def main():
         help="report encode FLOPs/s + MFU vs the v5e bf16 peak instead of "
         "the headline benchmark",
     )
+    parser.add_argument(
+        "--headline_only", action="store_true",
+        help="emit only the 100k headline line (skip the default run's "
+        "extra 1M-QPS and MFU records)",
+    )
+    parser.add_argument(
+        "--profile_dir", default="",
+        help="capture a jax.profiler trace of the headline search sweep "
+        "into this directory (SURVEY §5.1)",
+    )
     args = parser.parse_args()
 
     if args.mfu:
-        r = bench_mfu()
-        print(
-            json.dumps(
-                {
-                    "metric": "encode_mfu_vs_bf16_peak",
-                    "value": round(r["encode_mfu_vs_bf16_peak"], 4),
-                    "unit": "fraction",
-                    "vs_baseline": round(r["encode_tflops"], 2),
-                    "detail": {
-                        k: round(v, 3) for k, v in r.items()
-                    },
-                }
-            )
-        )
+        _emit_mfu_lines(bench_mfu(args.profile_dir), with_detail=True)
         return
 
     if args.scale:
@@ -398,13 +411,15 @@ def main():
     queries = rng.randn(N_QUERIES, DIM).astype(np.float32)
     cpu_qps = bench_cpu(queries, baseline)
 
+    cpu_rows = N_PASSAGES
     N_PASSAGES = args.n_passages
     passages = (
         baseline
         if args.n_passages == baseline.shape[0]
         else rng.randn(args.n_passages, DIM).astype(np.float32)
     )
-    tpu_qps = bench_tpu(queries, passages)
+    tpu_qps = bench_tpu(passages=passages, queries=queries,
+                        profile_dir=args.profile_dir)
 
     label = f"{args.n_passages // 1000}k"
     print(
@@ -414,6 +429,50 @@ def main():
                 "value": round(tpu_qps, 2),
                 "unit": "queries/s",
                 "vs_baseline": round(tpu_qps / cpu_qps, 2),
+            }
+        )
+    )
+    if args.headline_only or args.n_passages != cpu_rows:
+        return
+
+    # ---- default run: extra official records (VERDICT r2 #9) ----
+    # 1M-row resident search. CPU-FAISS baseline scaled from the measured
+    # 100k figure (exact flat search is linear in rows; a direct 1M
+    # torch-CPU run takes minutes on this 1-core host).
+    one_m = 1_000_000
+    passages_1m = rng.randn(one_m, DIM).astype(np.float32)
+    qps_1m = bench_tpu(passages=passages_1m, queries=queries, iters=16)
+    del passages_1m
+    print(
+        json.dumps(
+            {
+                "metric": "flatip_top100_qps_1000k",
+                "value": round(qps_1m, 2),
+                "unit": "queries/s",
+                "vs_baseline": round(qps_1m / (cpu_qps * cpu_rows / one_m), 2),
+            }
+        )
+    )
+    _emit_mfu_lines(bench_mfu())
+
+
+def _emit_mfu_lines(r: dict, with_detail: bool = False) -> None:
+    rec = {
+        "metric": "encode_mfu_vs_bf16_peak",
+        "value": round(r["encode_mfu_vs_bf16_peak"], 4),
+        "unit": "fraction",
+        "vs_baseline": round(r["encode_tflops"], 2),
+    }
+    if with_detail:
+        rec["detail"] = {k: round(v, 3) for k, v in r.items()}
+    print(json.dumps(rec))
+    print(
+        json.dumps(
+            {
+                "metric": "train_mfu_vs_bf16_peak",
+                "value": round(r["train_mfu_vs_bf16_peak"], 4),
+                "unit": "fraction",
+                "vs_baseline": round(r["train_tflops"], 2),
             }
         )
     )
