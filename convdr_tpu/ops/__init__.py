@@ -5,6 +5,7 @@ from convdr_tpu.ops.exact_search import (  # noqa: F401
     topk_oracle,
 )
 from convdr_tpu.ops.pallas_search import (  # noqa: F401
+    dma_gather_groups,
     pallas_flat_ip_topk,
     streaming_flat_ip_topk,
 )

@@ -66,6 +66,7 @@ def _chunked_topk(
     k: int,
     group: int = 32,
     valid=None,
+    gather: str = "auto",
 ):
     """Exact top-k over the last axis via group-max candidate selection.
 
@@ -109,13 +110,17 @@ def _chunked_topk(
         scores = jnp.pad(scores, ((0, 0), (0, pad)), constant_values=NEG_INF)
     s3 = scores.reshape(qn, n_groups, group)
     group_max = jnp.max(s3, axis=-1)  # [Q, n_groups]
-    return select_from_groupmax(s3, group_max, k, group, valid)
+    return select_from_groupmax(s3, group_max, k, group, valid, gather=gather)
 
 
 # Widths at or below this go straight to lax.top_k; above it, group-prune
 # recursively. 4096 keeps every payload sort narrow while the group-max
 # reduce + one-hot gather overhead stays negligible next to the sort saved.
 _TOPK_BASE_WIDTH = 4096
+
+# Multi-block scans up to this many blocks unroll statically (compile time
+# grows with the unroll; beyond it lax.scan keeps one compiled body).
+_UNROLL_MAX_BLOCKS = 8
 
 
 def grouped_topk_last_axis(
@@ -174,23 +179,46 @@ def _onehot_gather_groups(s3: jnp.ndarray, gsel: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _gather_candidate_groups(s3, gsel, group, gather: str):
+    """Gather s3[q, gsel[q, j], :] -> [Q, kg, G] via the requested impl.
+
+    ``auto`` = the one-hot MXU gather. The Pallas DMA containing-tile
+    gather (``dma``, :func:`convdr_tpu.ops.pallas_search.dma_gather_groups`)
+    moves ~20x less HBM but measured SLOWER in-path on v5e (1M rows, Q=512:
+    48.6 ms full search vs 46.7 ms one-hot; isolated per-block 3.6 vs
+    3.2-5.6 ms) -- the pallas_call is a fusion/overlap barrier while the
+    einsum pipelines with the surrounding selection. Kept as an exact,
+    tested opt-in; see the kernel docstring for the close-out analysis.
+    """
+    qn, n_groups, g = s3.shape
+    if gather not in ("auto", "onehot", "dma"):
+        raise ValueError(f"unknown gather impl {gather!r}")
+    if gather == "dma":
+        from convdr_tpu.ops.pallas_search import dma_gather_groups
+
+        return dma_gather_groups(s3.reshape(qn, n_groups * g), gsel, group=g)
+    return _onehot_gather_groups(s3, gsel)
+
+
 def select_from_groupmax(
     s3: jnp.ndarray,
     group_max: jnp.ndarray,
     k: int,
     group: int,
     valid=None,
+    *,
+    gather: str = "auto",
 ):
     """Candidate selection given grouped scores + group maxima.
 
     Shared tail of the XLA and Pallas search paths: stable top-k of the
     maxima picks candidate groups (+1 absorber when validity-masked), group
     ids sort ascending to preserve the global tie order, a one-hot MXU
-    matmul gathers candidates, and indices are recovered arithmetically
-    from the final stable top-k's positions. Both the group-max top-k and
-    the final candidate top-k recurse through
-    :func:`grouped_topk_last_axis`, so selection sorts stay narrow even at
-    500k+-row blocks.
+    matmul or Pallas DMA tile copy gathers candidates (``gather``:
+    auto/onehot/dma), and indices are recovered arithmetically from the
+    final stable top-k's positions. Both the group-max top-k and the final
+    candidate top-k recurse through :func:`grouped_topk_last_axis`, so
+    selection sorts stay narrow even at 500k+-row blocks.
     """
     qn, n_groups, _g = s3.shape
     k_grp = k
@@ -201,7 +229,7 @@ def select_from_groupmax(
     k_grp = min(k_grp, n_groups)
     _, gsel = grouped_topk_last_axis(group_max, k_grp, group)
     gsel = jnp.sort(gsel, axis=-1)  # ascending group ids => global order
-    cand = _onehot_gather_groups(s3, gsel)  # [Q, kg, G]
+    cand = _gather_candidate_groups(s3, gsel, group, gather)  # [Q, kg, G]
     if valid is not None:
         cand_idx = gsel[:, :, None] * group + jnp.arange(
             group, dtype=jnp.int32
@@ -248,7 +276,8 @@ _PRECISIONS = {
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "block_rows", "precision", "group")
+    jax.jit,
+    static_argnames=("k", "block_rows", "precision", "group", "gather"),
 )
 def flat_ip_topk(
     queries: jnp.ndarray,
@@ -259,6 +288,7 @@ def flat_ip_topk(
     valid_rows=-1,
     precision: str = "highest",
     group: int = 32,
+    gather: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact FlatIP top-k: scan over row blocks of the passage matrix.
 
@@ -316,12 +346,28 @@ def flat_ip_topk(
         )  # [Q, block_rows] fp32
         block_valid = None if valid is None else valid - base
         blk_s, blk_i = _chunked_topk(
-            scores, min(k_eff, block_rows), group=group, valid=block_valid
+            scores, min(k_eff, block_rows), group=group, valid=block_valid,
+            gather=gather,
         )
         return blk_s, blk_i + base
 
     if nblocks == 1:
         out_s, out_i = block_topk(passages, 0)
+    elif nblocks <= _UNROLL_MAX_BLOCKS:
+        # Static unroll: lax.scan's per-iteration dynamic slice of the
+        # blocks array can materialize a copy of each (GB-scale) block in
+        # HBM, while static slices read the original buffer in place (the
+        # scan path measured ~6 ms slower than an unrolled 2-block loop at
+        # 1M rows, scripts/bench_stages.py stage F vs E).
+        out_s = out_i = None
+        for b in range(nblocks):
+            blk_s, blk_i = block_topk(
+                passages[b * block_rows : (b + 1) * block_rows], b * block_rows
+            )
+            if out_s is None:
+                out_s, out_i = blk_s, blk_i
+            else:
+                out_s, out_i = merge_topk(out_s, out_i, blk_s, blk_i, k_eff)
     else:
         blocks = passages.reshape(nblocks, block_rows, d)
         init_s = jnp.full((qn, k_eff), NEG_INF, jnp.float32)

@@ -213,6 +213,111 @@ def pallas_flat_ip_topk(
 
 
 # ---------------------------------------------------------------------------
+# DMA candidate gather: copy only the containing (8,128) tiles
+# ---------------------------------------------------------------------------
+def _dma_gather_kernel(tcol_ref, *refs, k_block: int):
+    """Copy one score row slice per selected group out of the k_block tiles
+    the BlockSpec machinery DMA'd for this step.
+
+    ``refs`` = k_block aliased views of the score matrix (one (8, 128) tile
+    each, at data-dependent tile columns) + the (1, k_block, 128) output
+    block. The query's row within its 8-row tile band is dynamic
+    (program_id % 8) -- a dynamic SUBLANE index, which Mosaic supports,
+    unlike the dynamic sub-lane-width slice that sank the fine-grained
+    per-(query,group) copy design (see docstring of
+    :func:`dma_gather_groups`).
+    """
+    in_refs, out_ref = refs[:-1], refs[-1]
+    qmod = pl.program_id(0) % 8
+    for j, in_ref in enumerate(in_refs):
+        row = in_ref[pl.ds(qmod, 1), :]  # [1, 128], dynamic sublane
+        out_ref[0:1, j : j + 1, :] = row.reshape(1, 1, 128)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group", "k_block", "interpret")
+)
+def dma_gather_groups(
+    scores: jnp.ndarray,
+    gsel: jnp.ndarray,
+    *,
+    group: int = 32,
+    k_block: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Gather candidate score groups by DMA-ing only their containing tiles.
+
+    ``scores`` [Q, B] f32; ``gsel`` [Q, K] int32 group ids (< B // group).
+    Returns [Q, K, group] f32 with row (q, k) = scores[q, g*group:(g+1)*group]
+    for g = gsel[q, k] -- the same contract as the one-hot gather inside
+    :func:`convdr_tpu.ops.exact_search.select_from_groupmax`, which reads the
+    ENTIRE score matrix through the MXU to move K*group values per query
+    (~2 GB of HBM traffic + a 6-pass HIGHEST matmul at the 524288-row block
+    size). Here each candidate costs one (8, 128)-tile DMA (4 KB), ~200 MB
+    total at Q=512/K=101 -- ~20x less traffic and zero MXU time.
+
+    Mosaic constrains HBM->VMEM slices to (8, 128)-tile granularity (a
+    1 x group slice cannot compile: "Slice shape along dimension 0 must be
+    aligned to tiling (8)"). So the kernel copies the CONTAINING tile --
+    rows (q//8)*8..+8, lanes (g*group//128)*128..+128, a data-dependent
+    block index served by scalar-prefetched tile columns -- extracts the
+    query's row (dynamic sublane: supported), writes the 128-lane superlane
+    to the output, and the group-of-``group`` sub-slice is selected OUTSIDE
+    the kernel by a tiny [Q, K, 128/group, group] take_along_axis (dynamic
+    LANE slicing, the remaining Mosaic blocker, is never needed).
+
+    Constraints: Q % 8 == 0, B % 128 == 0, group divides 128, f32 scores.
+    """
+    qn, b = scores.shape
+    k = gsel.shape[1]
+    if qn % 8:
+        raise ValueError(f"queries {qn} not a multiple of the 8-row tile")
+    if b % 128:
+        raise ValueError(f"columns {b} not a multiple of the 128-lane tile")
+    if 128 % group:
+        raise ValueError(f"group {group} must divide 128")
+    if scores.dtype != jnp.float32:
+        raise ValueError("scores must be f32 (the search score dtype)")
+    groups_per_lane = 128 // group
+    k_pad = (-k) % k_block
+    padded = jnp.pad(gsel, ((0, 0), (0, k_pad))) if k_pad else gsel
+    kp = k + k_pad
+    tile_cols = (padded // groups_per_lane).astype(jnp.int32)
+
+    def in_index(j):
+        return lambda q, kb, tcol: (q // 8, tcol[q, kb * k_block + j])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(qn, kp // k_block),
+        in_specs=[
+            pl.BlockSpec((8, 128), in_index(j), memory_space=pltpu.VMEM)
+            for j in range(k_block)
+        ],
+        out_specs=pl.BlockSpec(
+            (1, k_block, 128), lambda q, kb, tcol: (q, kb, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    out128 = pl.pallas_call(
+        functools.partial(_dma_gather_kernel, k_block=k_block),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((qn, kp, 128), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=0,
+            bytes_accessed=qn * kp * (8 * 128 + 128) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(tile_cols, *([scores] * k_block))
+    out4 = out128[:, :k].reshape(qn, k, groups_per_lane, group)
+    sub = (gsel % groups_per_lane).astype(jnp.int32)
+    return jnp.take_along_axis(
+        out4, sub[:, :, None, None], axis=2
+    )[:, :, 0, :]
+
+
+# ---------------------------------------------------------------------------
 # Streaming search: the [Q, B] score matrix never touches HBM
 # ---------------------------------------------------------------------------
 def _groupmax_only_kernel(q_ref, p_ref, g_ref, *, group: int):

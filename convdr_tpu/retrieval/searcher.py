@@ -33,9 +33,9 @@ from convdr_tpu.retrieval.blocks import iter_embedding_blocks
 logger = logging.getLogger(__name__)
 
 # Host->device transfers above ~1-2 GB fall off a bandwidth cliff on this
-# stack (measured v5e tunnel: 1.1 GB/s at <=1 GB, 150 MB/s at 2 GB), so
-# blocks upload in row-aligned slices and concatenate in HBM (~ms).
-_UPLOAD_CHUNK_BYTES = 1 << 30
+# stack; blocks upload in row-aligned <=1 GiB slices and concatenate +
+# zero-pad in HBM (~ms). See utils/transfer.py for the measurements.
+from convdr_tpu.utils.transfer import device_put_chunked
 
 
 def prefetch_iter(iterable, depth: int = 1):
@@ -89,23 +89,7 @@ def prefetch_iter(iterable, depth: int = 1):
 
 
 def _device_put_padded(block_embs: np.ndarray, padded_n: int, dtype) -> jnp.ndarray:
-    """Upload a [N, D] host block as [padded_n, D] of ``dtype`` on device.
-
-    Padding happens ON DEVICE (a zeros chunk in the concat): numpy has no
-    fast copy loop for bf16, so a host-side pad of a capacity-mode block
-    costs minutes (utils/hostops.py documents the measurement); HBM does it
-    in microseconds.
-    """
-    n, dim = block_embs.shape
-    row_bytes = max(int(block_embs.nbytes // max(n, 1)), 1)
-    rows_per_chunk = max(1, _UPLOAD_CHUNK_BYTES // row_bytes)
-    parts = [
-        jnp.asarray(block_embs[i : i + rows_per_chunk], dtype=dtype)
-        for i in range(0, n, rows_per_chunk)
-    ]
-    if padded_n > n:
-        parts.append(jnp.zeros((padded_n - n, dim), dtype))
-    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    return device_put_chunked(block_embs, dtype, pad_rows_to=padded_n)
 
 
 class BlockedSearcher:

@@ -69,6 +69,7 @@ def make_train_step(
     *,
     mesh: Optional[Mesh] = None,
     data_axis: str = "data",
+    jit: bool = True,
 ):
     """Build the jitted train step.
 
@@ -79,6 +80,12 @@ def make_train_step(
     ``step(state, teacher_params, batch) -> (state, metrics)`` where batch is
     a dict with ``concat_ids/concat_mask/target_ids/target_mask`` and
     optionally ``doc_ids/doc_mask [B, K, L]`` for the ranking task.
+
+    ``jit=False`` returns the raw traceable step (no jit wrapper, no buffer
+    donation) for embedding into a larger jitted program, e.g. the in-jit
+    multi-step timing loop in ``bench.py --mfu`` (per-step dispatch through
+    the TPU tunnel costs ~15-30 ms, so honest step timing must loop on
+    device).
     """
 
     use_mse = not config.no_mse
@@ -145,6 +152,8 @@ def make_train_step(
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
 
+    if not jit:
+        return train_step
     if mesh is None:
         return jax.jit(train_step, donate_argnums=(0,))
 

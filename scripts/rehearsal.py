@@ -56,7 +56,7 @@ FILLER = (
 OWNED_PER_TOPIC = 12
 
 
-def make_corpus(path: str, n_passages: int, topics, rng):
+def make_corpus(path: str, n_passages: int, topics, rng, base_words: int = 30):
     """Passages with CAsT-like structure: each topic owns
     ``OWNED_PER_TOPIC`` passages rich in its subject words (so even a
     random-init teacher embeds them measurably closer to the topic's
@@ -64,7 +64,12 @@ def make_corpus(path: str, n_passages: int, topics, rng):
     ones); the rest are background noise over the shared pool. Without
     owned passages the teacher's top-3 are arbitrary word salads whose
     margins vanish at 768-dim/50k scale, and no achievable KD fidelity
-    recovers them (measured: converged MSE 0.13 still scored ndcg 0)."""
+    recovers them (measured: converged MSE 0.13 still scored ndcg 0).
+
+    ``base_words`` sizes the passages: ~30 for single-chunk families, large
+    enough to spill into a second chunk for ``rdot_nll_multi_chunk`` (the
+    FirstP max-over-chunks path is only exercised when chunk 2 has real
+    text, models.py:100-118)."""
     with open(path, "w") as f:
         for pid in range(n_passages):
             topic_id = pid // OWNED_PER_TOPIC
@@ -72,7 +77,7 @@ def make_corpus(path: str, n_passages: int, topics, rng):
                 topics[topic_id].split() if topic_id < len(topics) else None
             )
             words = []
-            for i in range(30):
+            for i in range(base_words):
                 words.append(WORDS[rng.randint(len(WORDS))])
                 if subject is not None and rng.rand() < 0.35:
                     words.append(subject[rng.randint(len(subject))])
@@ -155,7 +160,7 @@ def oracle_subset_check(ann_dir, processed_dir, raw_dir, model_path, args):
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     config, tokenizer, model, params = load_model_and_params(
-        "rdot_nll", model_path,
+        args.model_type, model_path,
         dtype=dtype,
         arch_preset="tiny" if args.smoke else None,
     )
@@ -200,6 +205,12 @@ def oracle_subset_check(ann_dir, processed_dir, raw_dir, model_path, args):
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--workdir", required=True)
+    parser.add_argument(
+        "--model_type", default="rdot_nll",
+        choices=["rdot_nll", "rdot_nll_multi_chunk", "dpr"],
+        help="registry family to rehearse (VERDICT r2 #4: all three "
+        "families must be shown to LEARN, not just run)",
+    )
     parser.add_argument("--n_passages", type=int, default=50_000)
     parser.add_argument("--n_topics", type=int, default=48)
     parser.add_argument("--turns", type=int, default=4)
@@ -207,7 +218,10 @@ def main(argv=None):
         "--steps", type=int, default=None,
         help="default: 2000 (base) / 500 (smoke)",
     )
-    parser.add_argument("--max_seq_length", type=int, default=128)
+    parser.add_argument(
+        "--max_seq_length", type=int, default=None,
+        help="default: 128; multi_chunk: 2 chunks (2x512 base, 2x32 tiny)",
+    )
     parser.add_argument("--max_concat_length", type=int, default=96)
     parser.add_argument("--max_query_length", type=int, default=32)
     parser.add_argument("--dtype", default="bfloat16")
@@ -241,6 +255,18 @@ def main(argv=None):
     args.steps = args.steps or (500 if args.smoke else 2000)
     args.learning_rate = args.learning_rate or (3e-4 if args.smoke else 2e-5)
 
+    multi_chunk = args.model_type == "rdot_nll_multi_chunk"
+    chunk_len = (32 if args.smoke else 512) if multi_chunk else None
+    if args.max_seq_length is None:
+        args.max_seq_length = 2 * chunk_len if multi_chunk else 128
+    # multi-chunk: passages must spill into chunk 2 (~0.7 words/token); the
+    # corpus shrinks to keep total token volume comparable
+    passage_words = (
+        max(30, int(args.max_seq_length * 0.8)) if multi_chunk else 30
+    )
+    if multi_chunk and not args.smoke:
+        args.n_passages = min(args.n_passages, 12_000)
+
     import numpy as np
 
     from convdr_tpu.drivers import (
@@ -262,7 +288,8 @@ def main(argv=None):
         f"{WORDS[rng.randint(len(WORDS))]} {WORDS[rng.randint(len(WORDS))]}"
         for _ in range(args.n_topics)
     ]
-    make_corpus(os.path.join(raw, "collection.tsv"), args.n_passages, topics, rng)
+    make_corpus(os.path.join(raw, "collection.tsv"), args.n_passages, topics,
+                rng, base_words=passage_words)
     make_topics(
         os.path.join(raw, "eval_topics.jsonl"),
         os.path.join(raw, "queries.raw.tsv"),
@@ -270,13 +297,13 @@ def main(argv=None):
     )
 
     arch = ["--arch_size", "tiny"] if args.smoke else []
-    common_model = ["--model_type", "rdot_nll", "--dtype", args.dtype] + arch
+    common_model = ["--model_type", args.model_type, "--dtype", args.dtype] + arch
 
     # 1) tokenize
     run(tokenize_collection, [
         "--collection", os.path.join(raw, "collection.tsv"),
         "--out_data_dir", processed,
-        "--model_type", "rdot_nll",
+        "--model_type", args.model_type,
         "--max_seq_length", str(args.max_seq_length),
         "--num_workers", "1",
     ], "tokenize")
@@ -376,8 +403,10 @@ def main(argv=None):
         "trained": {k: round(v, 4) for k, v in metrics_post.items()},
         "oracle_set_mismatches_8q": mismatches,
         "config": {
+            "model_type": args.model_type,
             "n_passages": args.n_passages, "n_topics": args.n_topics,
             "turns": args.turns, "steps": args.steps, "smoke": args.smoke,
+            "max_seq_length": args.max_seq_length,
         },
     }
     print(json.dumps(summary, indent=2))

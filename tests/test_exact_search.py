@@ -210,3 +210,21 @@ def test_flat_ip_large_block_matches_oracle(rng):
     os_, oi = topk_oracle(queries, passages, 50)
     assert np.array_equal(np.asarray(i), oi)
     assert np.allclose(np.asarray(s), os_, atol=2e-5)
+
+
+def test_flat_ip_topk_unrolled_vs_scan_boundary(rng):
+    """Block counts on both sides of the static-unroll boundary (<=8
+    unrolls, >8 scans) produce identical, oracle-exact results."""
+    import jax.numpy as jnp
+
+    from convdr_tpu.ops.exact_search import flat_ip_topk, topk_oracle
+
+    q = rng.randn(6, 16).astype(np.float32)
+    p = rng.randn(2560, 16).astype(np.float32)
+    os_, oi = topk_oracle(q, p, 7)
+    for block_rows in (320, 256):  # 8 blocks (unroll) / 10 blocks (scan)
+        s, i = flat_ip_topk(
+            jnp.asarray(q), jnp.asarray(p), 7, block_rows=block_rows
+        )
+        np.testing.assert_array_equal(np.asarray(i), oi)
+        np.testing.assert_allclose(np.asarray(s), os_, rtol=1e-5)

@@ -146,3 +146,36 @@ def test_streaming_topk_tie_break(rng):
         group=16, tile_rows=64, query_tile=4, interpret=True,
     )
     assert list(np.asarray(i)[0]) == [5, 16, 255, 256, 400]
+
+
+def test_dma_gather_groups_interpret(rng):
+    """Containing-tile DMA gather == direct slicing (interpret mode)."""
+    from convdr_tpu.ops.pallas_search import dma_gather_groups
+
+    Q, B, G, K = 16, 1024, 32, 5
+    scores = rng.randn(Q, B).astype(np.float32)
+    gsel = rng.randint(0, B // G, size=(Q, K)).astype(np.int32)
+    out = dma_gather_groups(
+        jnp.asarray(scores), jnp.asarray(gsel), group=G, interpret=True
+    )
+    assert out.shape == (Q, K, G)
+    for q in range(Q):
+        for j, g in enumerate(gsel[q]):
+            np.testing.assert_array_equal(
+                np.asarray(out)[q, j], scores[q, g * G : (g + 1) * G]
+            )
+
+
+def test_dma_gather_rejects_bad_shapes(rng):
+    from convdr_tpu.ops.pallas_search import dma_gather_groups
+
+    ok_scores = jnp.zeros((16, 1024), jnp.float32)
+    gsel = jnp.zeros((16, 4), jnp.int32)
+    with pytest.raises(ValueError, match="multiple of the 8-row"):
+        dma_gather_groups(jnp.zeros((15, 1024), jnp.float32), jnp.zeros((15, 4), jnp.int32), interpret=True)
+    with pytest.raises(ValueError, match="128-lane"):
+        dma_gather_groups(jnp.zeros((16, 1000), jnp.float32), gsel, interpret=True)
+    with pytest.raises(ValueError, match="divide 128"):
+        dma_gather_groups(ok_scores, gsel, group=48, interpret=True)
+    with pytest.raises(ValueError, match="f32"):
+        dma_gather_groups(ok_scores.astype(jnp.bfloat16), gsel, interpret=True)
