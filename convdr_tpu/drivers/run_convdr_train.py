@@ -42,6 +42,10 @@ def get_arguments(argv=None):
     parser.add_argument("--model_name_or_path", type=str, default=None)
     parser.add_argument("--max_concat_length", default=256, type=int)
     parser.add_argument("--max_query_length", default=64, type=int)
+    parser.add_argument("--max_doc_length", default=512, type=int,
+                        help="ranking-doc token budget (the reference "
+                        "hardcodes 512, run_convdr_train.py:131-137); "
+                        "multi-chunk models round it to a chunk multiple")
     parser.add_argument("--train_file", required=True, type=str)
     parser.add_argument("--cross_validate", action="store_true")
     parser.add_argument("--init_from_multiple_models", action="store_true")
@@ -129,6 +133,7 @@ def main(argv=None):
         num_negatives=args.num_negatives,
         ranking_task=args.ranking_task,
         no_mse=args.no_mse,
+        max_doc_length=args.max_doc_length,
         max_concat_length=args.max_concat_length,
         max_query_length=args.max_query_length,
         seed=args.seed,
@@ -174,7 +179,26 @@ def main(argv=None):
     # Same capacity clamp for ranking documents: a valid token past the
     # position table would gather out of range, which jnp fills with NaN
     # (silent loss poisoning, found via the rehearsal's tiny smoke run).
-    if config.max_doc_length > max_single:
+    # Multi-chunk models encode each chunk_len-wide chunk as its OWN
+    # sequence ([B, C*L] -> [B*C, L]), so position capacity binds per
+    # chunk, not per doc; the doc budget must instead be a chunk multiple
+    # or body_emb's reshape is malformed.
+    if MODEL_REGISTRY[args.model_type].multi_chunk:
+        import dataclasses as _dc
+
+        chunk = t_config.chunk_len
+        if chunk > max_single:
+            raise ValueError(
+                f"chunk_len {chunk} exceeds position capacity {max_single}"
+            )
+        rounded = max(chunk, (config.max_doc_length // chunk) * chunk)
+        if rounded != config.max_doc_length:
+            logger.warning(
+                "rounding max_doc_length %d to chunk multiple %d "
+                "(chunk_len=%d)", config.max_doc_length, rounded, chunk,
+            )
+            config = _dc.replace(config, max_doc_length=rounded)
+    elif config.max_doc_length > max_single:
         import dataclasses as _dc
 
         logger.warning(

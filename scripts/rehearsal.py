@@ -416,6 +416,7 @@ def main(argv=None):
             "--per_gpu_train_batch_size", str(per_gpu),
             "--max_concat_length", str(args.max_concat_length),
             "--max_query_length", str(args.max_query_length),
+            "--max_doc_length", str(args.max_seq_length),
             "--log_steps", "50",
             "--overwrite_output_dir",
         ] + common_model, "teacher-warmup")
@@ -466,6 +467,9 @@ def main(argv=None):
         "--per_gpu_train_batch_size", str(per_gpu),
         "--max_concat_length", str(args.max_concat_length),
         "--max_query_length", str(args.max_query_length),
+        # ranking docs share the corpus token budget (for multi-chunk the
+        # driver rounds this to a chunk multiple)
+        "--max_doc_length", str(args.max_seq_length),
         "--log_steps", "20",
         "--overwrite_output_dir",
     ] + common_model, "train")

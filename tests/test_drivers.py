@@ -365,6 +365,31 @@ def test_08_ranking_task_driver(workdir):
     assert any("ranking_loss" in r for r in recs)
 
 
+def test_08b_multi_chunk_ranking_doc_clamp(workdir):
+    """Multi-chunk + --ranking_task: the default 512-token doc budget must
+    round to a chunk multiple, NOT clamp to single-sequence position
+    capacity (130 at tiny scale), which would make body_emb's
+    [B, C*L] -> [B*C, L] reshape malformed (found by the rehearsal smoke)."""
+    raw = workdir / "raw"
+    run_convdr_train.main([
+        "--output_dir", str(workdir / "mc_rank_model"),
+        "--model_name_or_path", "init",
+        "--train_file", str(raw / "train_rank.jsonl"),
+        "--model_type", "rdot_nll_multi_chunk",
+        "--ranking_task",
+        "--num_negatives", "2",
+        "--max_steps", "1",
+        "--per_gpu_train_batch_size", "2",
+        "--max_concat_length", "48",
+        "--max_query_length", "48",
+        "--arch_size", "tiny",
+        "--no_mesh",
+    ])
+    recs = [json.loads(l) for l in
+            open(workdir / "mc_rank_model" / "metrics.jsonl")]
+    assert any("ranking_loss" in r for r in recs)
+
+
 def test_09_no_mse_ranking_driver(workdir):
     """--no_mse --ranking_task: loss is the ranking loss alone."""
     raw = workdir / "raw"
