@@ -95,6 +95,49 @@ def bench_cpu(queries: np.ndarray, passages: np.ndarray) -> float:
     return N_QUERIES / dt
 
 
+def ensure_scale_blocks(n_rows: int, n_blocks: int, cache_dir: str) -> None:
+    """Generate (or reuse) the deterministic on-disk bf16 blocks for
+    ``bench_scale``. Factored out so the hours-long 38M-row generation can
+    run host-side in the background, with the timed TPU sweep run later in
+    a quiet process (one busy CPU core skews host-side timing --
+    CLAUDE.md "Round-2 gotchas")."""
+    import ml_dtypes
+
+    from convdr_tpu.retrieval.blocks import (
+        EMB_PREFIX,
+        _block_path,
+        write_embedding_block,
+    )
+
+    rows_per_block = -(-n_rows // n_blocks)
+    os.makedirs(cache_dir, exist_ok=True)
+    stamp = os.path.join(cache_dir, f"stamp_{n_rows}_{n_blocks}_{DIM}")
+    if os.path.exists(stamp):
+        return
+    row_bytes = DIM * 2  # bf16 storage
+    for b in range(n_blocks):
+        lo = b * rows_per_block
+        hi = min(n_rows, lo + rows_per_block)
+        # blocks are deterministic per-index, so generation resumes
+        # after an interrupted run (hours of disk writes at 38M rows)
+        path = _block_path(cache_dir, EMB_PREFIX, b)
+        if (
+            os.path.exists(path)
+            and os.path.getsize(path) >= (hi - lo) * row_bytes
+        ):
+            print(f"block {b} already on disk, skipping", file=sys.stderr)
+            continue
+        gen = np.random.Generator(np.random.PCG64(1000 + b))
+        emb = gen.standard_normal((hi - lo, DIM), dtype=np.float32)
+        write_embedding_block(
+            cache_dir, b, emb.astype(ml_dtypes.bfloat16),
+            np.arange(lo, hi, dtype=np.int64),
+        )
+        print(f"generated block {b}: rows {lo}:{hi}", file=sys.stderr)
+    with open(stamp, "w") as f:
+        f.write("ok")
+
+
 def bench_scale(
     n_rows: int,
     n_blocks: int,
@@ -118,50 +161,17 @@ def bench_scale(
     f32 accumulation -- set equality per the measured near-tie contract,
     CLAUDE.md "Perf facts").
     """
-    import ml_dtypes
-
     import jax
     import jax.numpy as jnp
 
     from convdr_tpu.core.config import SearchConfig
-    from convdr_tpu.retrieval.blocks import (
-        load_embedding_block,
-        write_embedding_block,
-    )
+    from convdr_tpu.retrieval.blocks import load_embedding_block
     from convdr_tpu.retrieval.searcher import BlockedSearcher
 
-    rows_per_block = -(-n_rows // n_blocks)
     rng = np.random.RandomState(7)
     queries = rng.randn(N_QUERIES, DIM).astype(np.float32)
 
-    # ---- generate (or reuse) the on-disk blocks: deterministic per block
-    os.makedirs(cache_dir, exist_ok=True)
-    stamp = os.path.join(cache_dir, f"stamp_{n_rows}_{n_blocks}_{DIM}")
-    if not os.path.exists(stamp):
-        from convdr_tpu.retrieval.blocks import EMB_PREFIX, _block_path
-
-        row_bytes = DIM * 2  # bf16 storage
-        for b in range(n_blocks):
-            lo = b * rows_per_block
-            hi = min(n_rows, lo + rows_per_block)
-            # blocks are deterministic per-index, so generation resumes
-            # after an interrupted run (hours of disk writes at 38M rows)
-            path = _block_path(cache_dir, EMB_PREFIX, b)
-            if (
-                os.path.exists(path)
-                and os.path.getsize(path) >= (hi - lo) * row_bytes
-            ):
-                print(f"block {b} already on disk, skipping", file=sys.stderr)
-                continue
-            gen = np.random.Generator(np.random.PCG64(1000 + b))
-            emb = gen.standard_normal((hi - lo, DIM), dtype=np.float32)
-            write_embedding_block(
-                cache_dir, b, emb.astype(ml_dtypes.bfloat16),
-                np.arange(lo, hi, dtype=np.int64),
-            )
-            print(f"generated block {b}: rows {lo}:{hi}", file=sys.stderr)
-        with open(stamp, "w") as f:
-            f.write("ok")
+    ensure_scale_blocks(n_rows, n_blocks, cache_dir)
 
     cfg = SearchConfig(storage_dtype="bfloat16")
     searcher = BlockedSearcher(cfg)
@@ -377,6 +387,12 @@ def main():
     parser.add_argument("--blocks", type=int, default=8,
                         help="number of on-disk blocks for --scale")
     parser.add_argument(
+        "--gen_only", action="store_true",
+        help="--scale only: generate the on-disk blocks and exit (run the "
+        "timed sweep later in a quiet process; generation is hours of "
+        "host work at 38M rows)",
+    )
+    parser.add_argument(
         "--check_queries", type=int, default=0,
         help="--scale only: verify the recall-set contract for this many "
         "queries against a blocked numpy oracle (slow on 1 CPU)",
@@ -404,6 +420,12 @@ def main():
 
     if args.mfu:
         _emit_mfu_lines(bench_mfu(args.profile_dir), with_detail=True)
+        return
+
+    if args.scale and args.gen_only:
+        ensure_scale_blocks(args.scale, args.blocks, args.cache_dir)
+        print(json.dumps({"metric": "scale_blocks_ready", "value": args.scale,
+                          "unit": "rows", "vs_baseline": args.blocks}))
         return
 
     if args.scale:

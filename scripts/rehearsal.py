@@ -33,6 +33,9 @@ import os
 import sys
 import time
 
+# runnable as `python scripts/rehearsal.py` even without the editable install
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 WORDS = (
     "ocean coral reef tide current whale dolphin plankton kelp harbor "
