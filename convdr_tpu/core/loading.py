@@ -213,6 +213,18 @@ def load_model_and_params(
     else:
         raise FileNotFoundError(f"No checkpoint at {checkpoint_path}")
 
+    # Checkpoint restore / torch import return HOST numpy trees; committing
+    # them here makes the residency uniform with the `init` branch. Without
+    # this every jitted call that takes the tree as an argument re-uploads
+    # it (measured: a frozen BERT-base teacher cost ~0.4 GB and ~22 s PER
+    # STEP through the TPU tunnel). Mesh users still re-shard once with an
+    # explicit NamedSharding (train/loop.py).
+    import jax
+
+    params = jax.tree.map(
+        lambda x: x if isinstance(x, jax.Array) else jax.device_put(x), params
+    )
+
     return config, tokenizer, model, params
 
 
