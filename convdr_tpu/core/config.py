@@ -156,6 +156,15 @@ class SearchConfig:
     # "highest" = oracle-bit-exact (FAISS-parity); "high"/"default" trade
     # ~2e-3 score error for matmul speed (see ops/exact_search.py)
     matmul_precision: str = "highest"
+    # Device-side capacity cap: an on-disk block whose embedding matrix
+    # exceeds this many bytes is searched as sequential sub-blocks (results
+    # merged in order, preserving the lower-index tie preference). The
+    # jitted search transiently holds the raw upload PLUS its
+    # bucket-padded copy plus the [Q, scan_block] f32 score buffer, so a
+    # 38M/8 corpus (7.3 GB bf16 blocks) OOMs a 16 GB v5e without this
+    # (measured: 17.7 GB requested). 3.2 GB caps the transient at ~8 GB
+    # while leaving the 1M-row f32 resident path (3.07 GB) in one piece.
+    max_device_block_bytes: int = 3_200_000_000
 
 
 @dataclasses.dataclass(frozen=True)

@@ -137,8 +137,38 @@ class BlockedSearcher:
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Device-array variant of :meth:`search_block`: no host sync, so
         the block-streaming loop pipelines the next block's HBM upload
-        behind the current search."""
+        behind the current search.
+
+        Blocks above ``config.max_device_block_bytes`` are searched as
+        sequential sub-blocks merged in order: sub-block row indices are
+        shifted by their offset and :func:`merge_topk` prefers its first
+        argument on ties, so the result is bit-identical to a single-shot
+        search (lower row index wins ties either way). This keeps the
+        reference's 8-on-disk-block layout (README.md:216) valid at 38M
+        rows where one block alone approaches half of a v5e's HBM.
+        """
         n = block_embs.shape[0]
+        storage_itemsize = jnp.dtype(self.config.storage_dtype).itemsize
+        row_bytes = block_embs.shape[1] * storage_itemsize
+        cap_rows = max(1024, int(self.config.max_device_block_bytes // row_bytes))
+        # round the cap to the scan-block quantum so sub-blocks bucket well
+        quantum = min(self.config.passage_block_size, cap_rows)
+        cap_rows = max(quantum, cap_rows // quantum * quantum)
+        if n > cap_rows:
+            merged_s = merged_i = None
+            for lo in range(0, n, cap_rows):
+                hi = min(n, lo + cap_rows)
+                s, i = self._search_block_device(
+                    query_embs, block_embs[lo:hi], top_n
+                )
+                i = jnp.where(i >= 0, i + lo, -1)
+                if merged_s is None:
+                    merged_s, merged_i = s, i
+                else:
+                    merged_s, merged_i = merge_topk(
+                        merged_s, merged_i, s, i, top_n
+                    )
+            return merged_s, merged_i
         padded_n = self._bucket_rows(n)
         storage_dtype = jnp.dtype(self.config.storage_dtype)
         p = _device_put_padded(block_embs, padded_n, storage_dtype)

@@ -75,6 +75,29 @@ def test_blocked_search_sharded_matches_oracle(tmp_path, rng):
     np.testing.assert_array_equal(offsets, oi.astype(np.int64))
 
 
+def test_oversized_block_splits_and_matches_single_shot(rng):
+    """A block above max_device_block_bytes searches as sequential
+    sub-blocks merged in order; results must be bit-identical to the
+    unsplit search (lower row index wins ties either way). Guards the
+    38M-rows/8-blocks capacity path (one 7.3 GB block OOMs a v5e whole)."""
+    n, d = 3000, 16
+    passages = rng.randn(n, d).astype(np.float32)
+    # force a cross-sub-block tie to exercise the tie-ordering contract
+    passages[13] = passages[2555]
+    queries = rng.randn(4, d).astype(np.float32)
+    whole = BlockedSearcher(SearchConfig(passage_block_size=64))
+    cap_cfg = SearchConfig(
+        passage_block_size=64,
+        # 1024-row floor -> 3 sub-blocks at n=3000
+        max_device_block_bytes=1,
+    )
+    cap = BlockedSearcher(cap_cfg)
+    ws, wi = whole.search_block(queries, passages, 30)
+    cs, ci = cap.search_block(queries, passages, 30)
+    np.testing.assert_array_equal(wi, ci)
+    np.testing.assert_array_equal(ws, cs)
+
+
 def test_search_missing_dir(tmp_path):
     searcher = BlockedSearcher()
     with pytest.raises(FileNotFoundError):
