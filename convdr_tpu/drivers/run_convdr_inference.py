@@ -88,6 +88,13 @@ def get_arguments(argv=None):
         "batch (~2x faster) at 99.48%% top-100 overlap. The analogue of "
         "FAISS's fp16/GPU options (reference run_convdr_inference.py:327-368)",
     )
+    parser.add_argument(
+        "--max_device_block_bytes", default=3_200_000_000, type=int,
+        help="Device-side capacity cap: on-disk embedding blocks above "
+        "this many bytes are searched as sequential sub-blocks (results "
+        "bit-identical). The default fits the reference's 38M-rows/8-block "
+        "layout on a 16 GB v5e; raise it on larger-HBM parts",
+    )
     parser.add_argument("--dtype", default="float32",
                         choices=["float32", "bfloat16"])
     parser.add_argument("--gelu", default="auto",
@@ -201,6 +208,7 @@ def main(argv=None):
             top_n=args.top_n,
             storage_dtype=args.storage_dtype,
             matmul_precision=args.matmul_precision,
+            max_device_block_bytes=args.max_device_block_bytes,
         ),
         mesh=mesh,
     )

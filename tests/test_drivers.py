@@ -169,6 +169,9 @@ def test_04b_inference_driver_meshed(workdir):
             "--max_concat_length", "48",
             "--arch_size", "tiny",
             "--matmul_precision", precision,
+            # tiny cap: every block splits into sub-blocks; results must
+            # be bit-identical to the uncapped single-device run
+            "--max_device_block_bytes", "1",
         ])
         assert meshed == pytest.approx(base), (precision, meshed, base)
 
