@@ -40,6 +40,7 @@ def bench_tpu(
     *,
     iters: int = TPU_ITERS,
     profile_dir: str = "",
+    storage_dtype: str = "float32",
 ) -> float:
     """Device-side throughput: the search repeated inside ONE jitted loop.
 
@@ -57,6 +58,9 @@ def bench_tpu(
 
     q = jnp.asarray(queries)
     p = device_put_chunked(passages)  # >2 GB single transfers stall the tunnel
+    if storage_dtype != "float32":
+        p = jnp.asarray(p, jnp.dtype(storage_dtype))
+        p.block_until_ready()
 
     block_rows = min(passages.shape[0], 1048576)
 
@@ -161,6 +165,8 @@ def bench_scale(
     f32 accumulation -- set equality per the measured near-tie contract,
     CLAUDE.md "Perf facts").
     """
+    import logging
+
     import jax
     import jax.numpy as jnp
 
@@ -168,6 +174,7 @@ def bench_scale(
     from convdr_tpu.retrieval.blocks import load_embedding_block
     from convdr_tpu.retrieval.searcher import BlockedSearcher
 
+    logging.basicConfig(level=logging.INFO)  # block-progress lines on stderr
     rng = np.random.RandomState(7)
     queries = rng.randn(N_QUERIES, DIM).astype(np.float32)
 
@@ -183,9 +190,18 @@ def bench_scale(
     s, idx = searcher.search_blocks(cache_dir, queries, TOP_K)
     wall = time.perf_counter() - t0
 
-    # ---- device-only search rate: one resident block, jitted repeat loop
+    # ---- device-only search rate: one resident CAP-SIZED sub-block,
+    # jitted repeat loop. The production searcher never holds a full
+    # reference-scale block (7.3 GB at 38M/8) as one device array -- it
+    # splits above max_device_block_bytes -- so the device rate is timed on
+    # a sub-block and scaled per-row (the scan is linear in rows).
     emb0, _ = load_embedding_block(cache_dir, 0)
-    p0 = jnp.asarray(emb0, jnp.bfloat16)
+    row_bytes = DIM * 2  # bf16 on device
+    cap_rows = max(1024, int(cfg.max_device_block_bytes // row_bytes))
+    quantum = min(cfg.passage_block_size, cap_rows)
+    cap_rows = max(quantum, cap_rows // quantum * quantum)
+    rows0 = min(emb0.shape[0], cap_rows)
+    p0 = jnp.asarray(emb0[:rows0], jnp.bfloat16)
     q = jnp.asarray(queries)
     iters = 8
 
@@ -204,8 +220,8 @@ def bench_scale(
     float(repeat(q, p0))
     t0 = time.perf_counter()
     float(repeat(q, p0))
-    per_block_dev = (time.perf_counter() - t0) / iters
-    device_total = per_block_dev * n_blocks
+    per_sub_dev = (time.perf_counter() - t0) / iters
+    device_total = per_sub_dev * (n_rows / rows0)
 
     passage_bytes = n_rows * DIM * 2  # bf16 storage
     result = {
@@ -491,7 +507,6 @@ def main():
     one_m = 1_000_000
     passages_1m = rng.standard_normal((one_m, DIM), dtype=np.float32)
     qps_1m = bench_tpu(passages=passages_1m, queries=queries, iters=16)
-    del passages_1m
     print(
         json.dumps(
             {
@@ -499,6 +514,25 @@ def main():
                 "value": round(qps_1m, 2),
                 "unit": "queries/s",
                 "vs_baseline": round(qps_1m / (cpu_qps * cpu_rows / one_m), 2),
+            }
+        )
+    )
+    # bf16 storage mode: halves HBM AND runs ~1.4x faster at >=524k rows
+    # (HIGHEST on f32xbf16 needs half the MXU passes of f32xf32); exact vs
+    # the bf16-rounded oracle (the capacity-mode contract), 99.7% top-100
+    # overlap vs f32 storage (round-3 measurement).
+    qps_1m_bf16 = bench_tpu(
+        passages=passages_1m,  # uploads f32, casts on device (host cast crawls)
+        queries=queries, iters=16, storage_dtype="bfloat16",
+    )
+    del passages_1m
+    print(
+        json.dumps(
+            {
+                "metric": "flatip_top100_qps_1000k_bf16_storage",
+                "value": round(qps_1m_bf16, 2),
+                "unit": "queries/s",
+                "vs_baseline": round(qps_1m_bf16 / qps_1m, 2),
             }
         )
     )

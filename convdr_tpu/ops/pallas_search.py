@@ -31,6 +31,22 @@ saves one HBM score pass but the G=128 selection (12.8k-wide payload sort)
 and the small T=512 tile (VMEM double-buffering limits) cost more than the
 saved pass. The XLA path therefore remains the production default.
 
+TILE-SWEEP VERDICT (round 3, closes the round-2 open item;
+scripts/bench_fused_tiles.py, operands as arguments). 524288 x 768,
+Q=512, top-100, HIGHEST, production block_rows:
+
+    fused f32  T=256 25.6 ms | T=512 24.3 ms | T=1024 VMEM-overflow
+    fused bf16 T=512 24.3 ms | T=1024/2048 VMEM-overflow
+    XLA   f32 storage 24.1 ms | XLA bf16 storage 17.4 ms
+
+T=512 is the best compilable tile (double-buffered in/out blocks cap the
+budget; see the VMEM table in bench_fused_tiles.py). At its best the
+fused kernel only TIES the XLA f32 path -- and the in-kernel dot promotes
+bf16 tiles to f32, so it cannot exploit the mixed-precision win that
+makes XLA bf16-STORAGE the fastest exact config (HIGHEST on f32 x bf16
+needs half the MXU passes of f32 x f32; 1M rows: 33.9 vs 47.3 ms, 1.40x).
+Sweep finished, kernel stays a tested building block, XLA stays default.
+
 STREAMING VERDICT (round 2, closes VERDICT r1 item 3). The fully streaming
 variant below (``streaming_flat_ip_topk``: scores never reach HBM; group
 maxima in one pass, candidate groups re-scored in a second pass) is exact

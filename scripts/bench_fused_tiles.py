@@ -68,10 +68,14 @@ def main():
     pd_bf16 = jnp.asarray(pd, jnp.bfloat16)
     pd_bf16.block_until_ready()
 
-    # XLA reference on the same operands (both dtypes)
+    # XLA reference on the same operands (both dtypes), at the production
+    # scan-block size (the searcher passes 524288; the function's default
+    # 65536 costs ~8 extra selection+merge passes here)
     for name, p in (("f32", pd), ("bf16", pd_bf16)):
-        dt = timeit(lambda qq, pp: flat_ip_topk(qq, pp, K), qd, p,
-                    iters=args.iters)
+        dt = timeit(
+            lambda qq, pp: flat_ip_topk(qq, pp, K, block_rows=args.rows),
+            qd, p, iters=args.iters,
+        )
         print(f"xla   {name:5s}            : {dt * 1e3:7.2f} ms "
               f"({Q / dt:8.0f} QPS)", flush=True)
 
