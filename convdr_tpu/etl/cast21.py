@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import copy
+import re
 import json
 import os
 import pickle
@@ -31,6 +32,19 @@ def cast21_fold(topic_number: int) -> int:
     return (int(topic_number) - 106) // NUM_FOLD
 
 
+# The reference's tag grammar (preprocess_cast21.py:175-221) as one union
+# pattern: a DOCNO or TITLE sets parser state; each passage emits a record
+# against the most recent docno/title. Non-greedy bodies with re.S reproduce
+# the reference's scan-to-next-closer semantics (content may span lines);
+# the pid part runs to the first ``>`` exactly as its ``find(">")`` did.
+_TAG_RE = re.compile(
+    r"<DOCNO>(?P<docno>.*?)</DOCNO>"
+    r"|<TITLE>(?P<title>.*?)</TITLE>"
+    r"|<passage id=(?P<pid>[^>]*)>(?P<body>.*?)</passage>",
+    re.S,
+)
+
+
 def parse_documents(
     all_content: str,
     doc_id_to_idx: Dict[str, int],
@@ -39,48 +53,33 @@ def parse_documents(
     out: TextIO,
     pidx: int = 0,
 ) -> int:
-    """Scan ``<DOCNO>``/``<TITLE>``/``<passage id=N>`` structure
-    (preprocess_cast21.py:175-221)."""
+    """Scan ``<DOCNO>``/``<TITLE>``/``<passage id=N>`` corpora
+    (KILT / MARCO-docs / WaPo; reference preprocess_cast21.py:175-221).
+
+    Output-equivalent to the reference's character scanner on well-formed
+    input: same dense pids, same ``docid-pid`` composite external ids,
+    same ``title + " " + passage`` text with whitespace normalization and
+    numeric pid canonicalization (``id=007`` -> ``7``). Sole deviation: an
+    unclosed tag is skipped rather than raising ``AssertionError``
+    mid-corpus (leftmost-match scanning simply finds no record there).
+    """
     docid = None
     title = None
-    char_id = 0
-    n = len(all_content)
-    while char_id < n:
-        if all_content[char_id] != "<":
-            char_id += 1
-            continue
-        char_id += 1
-        if char_id >= n or all_content[char_id] not in ("D", "T", "p"):
-            continue
-        if all_content.startswith("DOCNO>", char_id):
-            char_id += len("DOCNO>")
-            end = all_content.find("</DOCNO>", char_id)
-            assert end != -1
-            docid = all_content[char_id:end]
-            char_id = end + len("</DOCNO>")
-        elif all_content.startswith("TITLE>", char_id):
-            char_id += len("TITLE>")
-            end = all_content.find("</TITLE>", char_id)
-            assert end != -1
-            title = all_content[char_id:end]
-            char_id = end + len("</TITLE>")
-        elif all_content.startswith("passage id=", char_id):
-            char_id += len("passage id=")
-            end = all_content.find(">", char_id)
-            assert end != -1
-            pid = str(int(all_content[char_id:end]))
-            char_id = end + 1
-            end = all_content.find("</passage>", char_id)
-            assert end != -1
+    for m in _TAG_RE.finditer(all_content):
+        if m.group("docno") is not None:
+            docid = m.group("docno")
+        elif m.group("title") is not None:
+            title = m.group("title")
+        else:
+            pid = str(int(m.group("pid")))
             passage = (
-                all_content[char_id:end]
+                m.group("body")
                 .strip()
                 .replace("\n", " ")
                 .replace("\t", " ")
                 .strip()
             )
             text = title + " " + passage
-            char_id = end + len("</passage>")
             composite = docid + "-" + pid
             doc_id_to_idx[composite] = pidx
             doc_idx_to_id.append(composite)

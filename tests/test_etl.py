@@ -367,3 +367,26 @@ def test_id_remap(tmp_path):
         str(tmp_path / "out.trec"),
     )
     assert open(tmp_path / "out.trec").read() == "31_1 Q0 DOC_B-3 1 199 ance\n"
+
+
+def test_cast21_parser_pid_canonicalization_and_title_state(tmp_path):
+    """Reference-scanner equivalences the regex scanner must keep:
+    numeric pid canonicalization (id=007 -> 7) and title state carrying
+    over to a doc that declares none (preprocess_cast21.py:175-221)."""
+    content = (
+        "<DOC><DOCNO>D1</DOCNO><TITLE>T1</TITLE>"
+        "<passage id=007>padded\tpid</passage></DOC>"
+        "<DOC><DOCNO>D2</DOCNO>"  # no TITLE: reuses T1 like the reference
+        "<passage id=1>later doc</passage></DOC>"
+    )
+    corpus = tmp_path / "c.txt"
+    corpus.write_text(content)
+    doc_id_to_idx, collection = cast21.build_collection(
+        [str(corpus)],
+        str(tmp_path / "collection.tsv"),
+        str(tmp_path / "id2idx.pickle"),
+        str(tmp_path / "idx2id.pickle"),
+    )
+    assert doc_id_to_idx == {"D1-7": 0, "D2-1": 1}
+    assert collection[0] == "T1 padded pid"
+    assert collection[1] == "T1 later doc"
