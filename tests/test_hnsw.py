@@ -69,3 +69,31 @@ def test_dense_hnsw_rejects_second_index_data(rng):
     indexer.index_data(data)
     with pytest.raises(RuntimeError):
         indexer.index_data(data)
+
+
+def test_hnsw_clustered_recall_saturates(rng):
+    """Clustered data (real embedding geometry) must reach ~full recall at
+    moderate ef. Guards the Malkov Algorithm-4 diversity selection: plain
+    closest-M neighbor pruning severs inter-cluster bridge edges and
+    recall plateaus near 0.8 NO MATTER how large ef grows (measured before
+    the round-3 fix: 0.82 at ef=1024 on 500-cluster data)."""
+    from convdr_tpu.retrieval.hnsw import DenseHNSWFlatIndexer
+
+    n, d, k, n_clusters = 3000, 64, 10, 40
+    centers = rng.randn(n_clusters, d).astype(np.float32)
+    assign = rng.randint(0, n_clusters, size=n)
+    docs = (centers[assign]
+            + 0.35 * rng.randn(n, d).astype(np.float32))
+    queries = (centers[rng.randint(0, n_clusters, size=16)]
+               + 0.35 * rng.randn(16, d).astype(np.float32))
+    oracle = np.argsort(-(queries @ docs.T), axis=1)[:, :k]
+
+    indexer = DenseHNSWFlatIndexer(d, store_n=16, ef_construction=100,
+                                   ef_search=64)
+    indexer.index_data([(i, docs[i]) for i in range(n)])
+    results = indexer.search_knn(queries, k)
+    recall = np.mean([
+        len({int(i) for i in ids if i is not None} & set(map(int, oracle[r]))) / k
+        for r, (ids, _s) in enumerate(results)
+    ])
+    assert recall >= 0.95, recall
