@@ -15,7 +15,6 @@
 #include <limits>
 #include <queue>
 #include <random>
-#include <unordered_set>
 #include <vector>
 
 namespace {
@@ -40,12 +39,27 @@ struct HnswIndex {
   const float* vec(int id) const { return data.data() + id * dim; }
 
   float dist(const float* a, const float* b) const {
-    float acc = 0.f;
-    for (int64_t i = 0; i < dim; ++i) {
-      const float d = a[i] - b[i];
-      acc += d * d;
+    // Four independent accumulators: a single-accumulator FP reduction
+    // cannot be auto-vectorized without -ffast-math (reassociation), and
+    // the build spends ~all its time here (768-d L2 per beam candidate).
+    // The fixed lane order keeps results deterministic.
+    float acc0 = 0.f, acc1 = 0.f, acc2 = 0.f, acc3 = 0.f;
+    int64_t i = 0;
+    for (; i + 4 <= dim; i += 4) {
+      const float d0 = a[i] - b[i];
+      const float d1 = a[i + 1] - b[i + 1];
+      const float d2 = a[i + 2] - b[i + 2];
+      const float d3 = a[i + 3] - b[i + 3];
+      acc0 += d0 * d0;
+      acc1 += d1 * d1;
+      acc2 += d2 * d2;
+      acc3 += d3 * d3;
     }
-    return acc;
+    for (; i < dim; ++i) {
+      const float d = a[i] - b[i];
+      acc0 += d * d;
+    }
+    return (acc0 + acc1) + (acc2 + acc3);
   }
 
   // Greedy descent on one layer toward q from start.
@@ -68,22 +82,27 @@ struct HnswIndex {
   }
 
   // Beam search on a layer; returns up to ef closest (dist, id) pairs.
+  // The visited set is a flat byte array, not a hash set: hash inserts
+  // dominated the build profile (one per touched edge); the O(n) zeroed
+  // buffer per call is a ~n-byte memset and keeps concurrent searches
+  // trivially thread-safe (each call owns its buffer).
   std::vector<std::pair<float, int>> search_layer(
       const float* q, int start, int layer, int64_t ef) const {
     using Pair = std::pair<float, int>;
     std::priority_queue<Pair> results;                         // max-heap
     std::priority_queue<Pair, std::vector<Pair>, std::greater<Pair>> cands;
-    std::unordered_set<int> visited;
+    std::vector<uint8_t> visited(size(), 0);
     const float d0 = dist(q, vec(start));
     results.emplace(d0, start);
     cands.emplace(d0, start);
-    visited.insert(start);
+    visited[start] = 1;
     while (!cands.empty()) {
       auto [cd, c] = cands.top();
       if (cd > results.top().first && (int64_t)results.size() >= ef) break;
       cands.pop();
       for (int nb : neighbors[layer][c]) {
-        if (!visited.insert(nb).second) continue;
+        if (visited[nb]) continue;
+        visited[nb] = 1;
         const float d = dist(q, vec(nb));
         if ((int64_t)results.size() < ef || d < results.top().first) {
           cands.emplace(d, nb);
