@@ -98,6 +98,22 @@ def test_oversized_block_splits_and_matches_single_shot(rng):
     np.testing.assert_array_equal(ws, cs)
 
 
+def test_oversized_block_splits_sharded_matches_oracle(tmp_path, rng):
+    """Capacity split composed with index-axis sharding: sub-blocks are
+    re-sharded over the mesh and merged; offsets must still match the
+    oracle exactly."""
+    mesh = get_mesh(("index",))
+    passages = make_blocks(tmp_path, rng, n=320)
+    queries = rng.randn(4, 16).astype(np.float32)
+    searcher = BlockedSearcher(
+        SearchConfig(passage_block_size=64, max_device_block_bytes=1),
+        mesh=mesh,
+    )
+    s, offsets = searcher.search_blocks(str(tmp_path), queries, 20)
+    os_, oi = topk_oracle(queries, passages, 20)
+    np.testing.assert_array_equal(offsets, oi.astype(np.int64))
+
+
 def test_search_missing_dir(tmp_path):
     searcher = BlockedSearcher()
     with pytest.raises(FileNotFoundError):
