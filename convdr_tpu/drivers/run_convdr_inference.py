@@ -89,7 +89,8 @@ def get_arguments(argv=None):
         "FAISS's fp16/GPU options (reference run_convdr_inference.py:327-368)",
     )
     parser.add_argument(
-        "--max_device_block_bytes", default=3_200_000_000, type=int,
+        "--max_device_block_bytes", type=int,
+        default=SearchConfig.max_device_block_bytes,  # one source of truth
         help="Device-side capacity cap: on-disk embedding blocks above "
         "this many bytes are searched as sequential sub-blocks (results "
         "bit-identical). The default fits the reference's 38M-rows/8-block "

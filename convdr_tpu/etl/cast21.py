@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import copy
+import logging
 import re
 import json
 import os
@@ -65,7 +66,9 @@ def parse_documents(
     """
     docid = None
     title = None
+    last_end = 0
     for m in _TAG_RE.finditer(all_content):
+        last_end = m.end()
         if m.group("docno") is not None:
             docid = m.group("docno")
         elif m.group("title") is not None:
@@ -86,6 +89,15 @@ def parse_documents(
             collection[pidx] = text
             out.write(f"{pidx}\t{text}\n")
             pidx += 1
+    # A passage opener past the last match means an unclosed tag was
+    # skipped (the reference's scanner would have raised mid-corpus);
+    # surface it loudly -- a silently shorter collection shifts every
+    # later dense pid and misaligns qrels downstream.
+    if "<passage id=" in all_content[last_end:]:
+        logging.getLogger(__name__).warning(
+            "unclosed <passage> tag after offset %d: corpus likely "
+            "truncated or corrupt; %d passages parsed", last_end, pidx,
+        )
     return pidx
 
 

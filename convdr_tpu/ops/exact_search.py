@@ -366,6 +366,19 @@ def flat_ip_topk(
             )
             if out_s is None:
                 out_s, out_i = blk_s, blk_i
+                if out_s.shape[1] < k_eff:
+                    # k > block_rows: widen the running list to k_eff so
+                    # later merges can reach it (the scan path's carry is
+                    # born k_eff wide; without this, merge_topk's
+                    # lax.top_k(cat, k_eff) would see cat < k_eff and
+                    # crash). No-op at normal retrieval sizes.
+                    pad = k_eff - out_s.shape[1]
+                    out_s = jnp.pad(
+                        out_s, ((0, 0), (0, pad)), constant_values=NEG_INF
+                    )
+                    out_i = jnp.pad(
+                        out_i, ((0, 0), (0, pad)), constant_values=-1
+                    )
             else:
                 out_s, out_i = merge_topk(out_s, out_i, blk_s, blk_i, k_eff)
     else:

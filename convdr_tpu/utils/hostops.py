@@ -34,10 +34,13 @@ def pad_rows(arr: np.ndarray, total_rows: int) -> np.ndarray:
             [arr, np.zeros((total_rows - n, *arr.shape[1:]), arr.dtype)]
         )
     out = np.zeros((total_rows, *arr.shape[1:]), arr.dtype)
-    src = np.ascontiguousarray(arr)
-    # Byte views of a 1-D array flatten rows into a single byte axis, so a
-    # [:n] slice would take n BYTES; reshape to one row per byte-row first.
-    out.view(np.uint8).reshape(total_rows, -1)[:n] = src.view(np.uint8).reshape(n, -1)
+    if n:  # reshape(0, -1) on an empty byte view raises; nothing to copy
+        src = np.ascontiguousarray(arr)
+        # Byte views of a 1-D array flatten rows into a single byte axis,
+        # so a [:n] slice would take n BYTES; reshape row-per-byte-row.
+        out.view(np.uint8).reshape(total_rows, -1)[:n] = (
+            src.view(np.uint8).reshape(n, -1)
+        )
     return out
 
 

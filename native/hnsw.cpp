@@ -13,6 +13,8 @@
 #include <cstdint>
 #include <cstring>
 #include <limits>
+#include <memory>
+#include <mutex>
 #include <queue>
 #include <random>
 #include <vector>
@@ -33,6 +35,41 @@ struct HnswIndex {
   std::vector<std::vector<std::vector<int>>> neighbors;
   int entry_point = -1;
   int max_level = -1;
+
+  // Visited-set pool (hnswlib's VisitedListPool idea): a fresh O(n)
+  // byte-array memset per beam search is amortized during build but costs
+  // every QUERY an n-byte clear (38 MB per search_layer call at 38M
+  // docs). Epoch-tagged u32 buffers reset by bumping a generation id;
+  // the mutex only guards pool push/pop (ns per query), searches stay
+  // safely concurrent because each call owns a buffer exclusively.
+  struct Visited {
+    std::vector<uint32_t> tags;
+    uint32_t gen = 0;
+  };
+  mutable std::vector<std::unique_ptr<Visited>> visited_pool;
+  mutable std::mutex pool_mu;
+
+  std::unique_ptr<Visited> acquire_visited() const {
+    std::unique_ptr<Visited> v;
+    {
+      std::lock_guard<std::mutex> lk(pool_mu);
+      if (!visited_pool.empty()) {
+        v = std::move(visited_pool.back());
+        visited_pool.pop_back();
+      }
+    }
+    if (!v) v = std::make_unique<Visited>();
+    if ((int64_t)v->tags.size() < size()) v->tags.resize(size(), 0);
+    if (++v->gen == 0) {  // generation wrap: clear once, restart at 1
+      std::fill(v->tags.begin(), v->tags.end(), 0);
+      v->gen = 1;
+    }
+    return v;
+  }
+  void release_visited(std::unique_ptr<Visited> v) const {
+    std::lock_guard<std::mutex> lk(pool_mu);
+    visited_pool.push_back(std::move(v));
+  }
 
   int64_t size() const { return static_cast<int64_t>(levels.size()); }
 
@@ -82,27 +119,27 @@ struct HnswIndex {
   }
 
   // Beam search on a layer; returns up to ef closest (dist, id) pairs.
-  // The visited set is a flat byte array, not a hash set: hash inserts
-  // dominated the build profile (one per touched edge); the O(n) zeroed
-  // buffer per call is a ~n-byte memset and keeps concurrent searches
-  // trivially thread-safe (each call owns its buffer).
+  // Visited tracking uses the epoch-tagged pool above (flat array, no
+  // hash inserts, no per-call O(n) clear).
   std::vector<std::pair<float, int>> search_layer(
       const float* q, int start, int layer, int64_t ef) const {
     using Pair = std::pair<float, int>;
     std::priority_queue<Pair> results;                         // max-heap
     std::priority_queue<Pair, std::vector<Pair>, std::greater<Pair>> cands;
-    std::vector<uint8_t> visited(size(), 0);
+    auto visited = acquire_visited();
+    uint32_t* tags = visited->tags.data();
+    const uint32_t gen = visited->gen;
     const float d0 = dist(q, vec(start));
     results.emplace(d0, start);
     cands.emplace(d0, start);
-    visited[start] = 1;
+    tags[start] = gen;
     while (!cands.empty()) {
       auto [cd, c] = cands.top();
       if (cd > results.top().first && (int64_t)results.size() >= ef) break;
       cands.pop();
       for (int nb : neighbors[layer][c]) {
-        if (visited[nb]) continue;
-        visited[nb] = 1;
+        if (tags[nb] == gen) continue;
+        tags[nb] = gen;
         const float d = dist(q, vec(nb));
         if ((int64_t)results.size() < ef || d < results.top().first) {
           cands.emplace(d, nb);
@@ -111,6 +148,7 @@ struct HnswIndex {
         }
       }
     }
+    release_visited(std::move(visited));
     std::vector<Pair> out;
     out.reserve(results.size());
     while (!results.empty()) {

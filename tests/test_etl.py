@@ -390,3 +390,27 @@ def test_cast21_parser_pid_canonicalization_and_title_state(tmp_path):
     assert doc_id_to_idx == {"D1-7": 0, "D2-1": 1}
     assert collection[0] == "T1 padded pid"
     assert collection[1] == "T1 later doc"
+
+
+def test_cast21_parser_warns_on_unclosed_tag(tmp_path, caplog):
+    """Unclosed <passage> = corpus corruption: must warn loudly rather
+    than silently shorten the collection (shifted dense pids misalign
+    qrels downstream; the reference crashed here)."""
+    import logging
+
+    content = (
+        "<DOC><DOCNO>D</DOCNO><TITLE>T</TITLE>"
+        "<passage id=0>fine</passage>"
+        "<passage id=1>never closed"
+    )
+    corpus = tmp_path / "bad.txt"
+    corpus.write_text(content)
+    with caplog.at_level(logging.WARNING):
+        _ids, collection = cast21.build_collection(
+            [str(corpus)],
+            str(tmp_path / "c.tsv"),
+            str(tmp_path / "a.pickle"),
+            str(tmp_path / "b.pickle"),
+        )
+    assert len(collection) == 1
+    assert any("unclosed" in r.message for r in caplog.records)

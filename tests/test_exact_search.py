@@ -228,3 +228,19 @@ def test_flat_ip_topk_unrolled_vs_scan_boundary(rng):
         )
         np.testing.assert_array_equal(np.asarray(i), oi)
         np.testing.assert_allclose(np.asarray(s), os_, rtol=1e-5)
+
+
+def test_k_exceeds_twice_block_rows_unrolled(rng):
+    """k > 2*block_rows on the static-unroll path (2-8 blocks): the first
+    block's result must widen to k_eff before merging, or merge_topk's
+    lax.top_k(cat, k_eff) sees cat < k_eff and crashes (round-3 review)."""
+    q = rng.randn(3, 16).astype(np.float32)
+    p = rng.randn(2560, 16).astype(np.float32)
+    s, i = flat_ip_topk(jnp.asarray(q), jnp.asarray(p), 700, block_rows=320)
+    scores = q @ p.T
+    oracle = np.sort(scores, axis=1)[:, ::-1][:, :700]
+    np.testing.assert_allclose(np.asarray(s), oracle, rtol=1e-5)
+    # every returned index valid and unique per row
+    ii = np.asarray(i)
+    assert (ii >= 0).all()
+    assert all(len(set(ii[r])) == 700 for r in range(3))

@@ -47,3 +47,9 @@ def test_pad_rows_1d_bf16(rng):
     assert out.shape == (9,)
     assert np.array_equal(out[:5].astype(np.float32), a.astype(np.float32))
     assert not out[5:].astype(np.float32).any()
+
+
+def test_pad_rows_empty_nonnative():
+    out = pad_rows(np.zeros((0, 4), dtype=ml_dtypes.bfloat16), 8)
+    assert out.shape == (8, 4)
+    assert not out.any()
