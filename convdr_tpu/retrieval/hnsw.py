@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import ctypes
 import logging
+import os
 from typing import List, Sequence, Tuple
 
 import numpy as np
@@ -63,34 +64,58 @@ class HnswIndex:
             ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.convdr_hnsw_add_parallel.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.c_int64,
+        ]
+        lib.convdr_hnsw_search_parallel.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ]
 
     def __len__(self) -> int:
         return int(self._lib.convdr_hnsw_size(self._handle))
 
-    def add(self, vectors: np.ndarray) -> None:
+    def add(self, vectors: np.ndarray, num_threads: int = 1) -> None:
+        """Insert rows. ``num_threads > 1`` builds concurrently with
+        per-node locks (hnswlib-style): same recall contract, but the
+        exact graph depends on thread interleaving. The default stays
+        single-threaded for bit-reproducible builds (this dev host also
+        has one core; multi-core hosts should pass os.cpu_count())."""
         vecs = np.ascontiguousarray(vectors, np.float32)
         assert vecs.shape[1] == self.dim
-        self._lib.convdr_hnsw_add(
-            self._handle,
-            vecs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            vecs.shape[0],
-        )
+        ptr = vecs.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        if num_threads > 1:
+            self._lib.convdr_hnsw_add_parallel(
+                self._handle, ptr, vecs.shape[0], num_threads
+            )
+        else:
+            self._lib.convdr_hnsw_add(self._handle, ptr, vecs.shape[0])
 
     def set_ef_search(self, ef_search: int) -> None:
         self._lib.convdr_hnsw_set_ef_search(self._handle, ef_search)
 
-    def search(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    def search(
+        self, queries: np.ndarray, k: int, num_threads: int = 0
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batch k-NN. ``num_threads``: 0 = one thread per core (queries
+        are independent and the graph immutable, so results are identical
+        at any thread count), 1 = serial, N = exactly N."""
         q = np.ascontiguousarray(queries, np.float32)
         nq = q.shape[0]
         dists = np.empty((nq, k), np.float32)
         ids = np.empty((nq, k), np.int64)
-        self._lib.convdr_hnsw_search(
+        if num_threads == 0:
+            num_threads = os.cpu_count() or 1
+        self._lib.convdr_hnsw_search_parallel(
             self._handle,
             q.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             nq,
             k,
             dists.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            num_threads,
         )
         return dists, ids
 
@@ -106,8 +131,11 @@ class DenseHNSWFlatIndexer:
 
     def __init__(self, vector_sz: int, buffer_size: int = 50000,
                  store_n: int = 512, ef_search: int = 128,
-                 ef_construction: int = 200):
+                 ef_construction: int = 200, num_threads: int = 1):
         self.buffer_size = buffer_size
+        # build threads; 1 (default) = deterministic graphs, >1 = hnswlib
+        # -style concurrent insertion (recall contract unchanged)
+        self.num_threads = num_threads
         self.index_id_to_db_id: List[object] = []
         if store_n > 128:
             logger.warning(
@@ -144,7 +172,7 @@ class DenseHNSWFlatIndexer:
             aux = np.sqrt(np.maximum(phi - norms, 0.0)).astype(np.float32)
             hnsw_vectors = np.concatenate([vectors, aux[:, None]], axis=1)
             self.index_id_to_db_id.extend(_id for _id, _v in chunk)
-            self.index.add(hnsw_vectors)
+            self.index.add(hnsw_vectors, num_threads=self.num_threads)
             logger.info("data indexed %d", len(self.index_id_to_db_id))
 
     def search_knn(

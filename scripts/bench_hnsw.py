@@ -44,6 +44,8 @@ def main():
         "FAISS HNSW too)",
     )
     ap.add_argument("--clusters", type=int, default=500)
+    ap.add_argument("--threads", type=int, default=1,
+                    help="build threads (per-node-lock concurrent insertion); search always fans out over all cores")
     args = ap.parse_args()
 
     gen = np.random.Generator(np.random.PCG64(0))
@@ -74,7 +76,8 @@ def main():
           f"({args.queries / t_exact:7.1f} QPS)", flush=True)
 
     indexer = DenseHNSWFlatIndexer(
-        args.dim, store_n=args.m, ef_construction=args.ef_construction
+        args.dim, store_n=args.m, ef_construction=args.ef_construction,
+        num_threads=args.threads,
     )
     t0 = time.perf_counter()
     indexer.index_data([(i, docs[i]) for i in range(args.rows)])

@@ -97,3 +97,70 @@ def test_hnsw_clustered_recall_saturates(rng):
         for r, (ids, _s) in enumerate(results)
     ])
     assert recall >= 0.95, recall
+
+
+def test_hnsw_parallel_one_thread_bit_identical(rng):
+    """The parallel insertion path with num_threads=1 must produce the
+    exact graph the serial path does (same sequential RNG level draws,
+    same link order), so search results are bit-identical."""
+    from convdr_tpu.retrieval.hnsw import HnswIndex
+
+    data = rng.randn(1200, 16).astype(np.float32)
+    q = rng.randn(16, 16).astype(np.float32)
+    a = HnswIndex(16, m=16, ef_construction=80, ef_search=80, seed=3)
+    a.add(data)
+    b = HnswIndex(16, m=16, ef_construction=80, ef_search=80, seed=3)
+    import ctypes
+
+    vecs = np.ascontiguousarray(data, np.float32)
+    b._lib.convdr_hnsw_add_parallel(
+        b._handle,
+        vecs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        vecs.shape[0],
+        1,
+    )
+    da, ia = a.search(q, 10, num_threads=1)
+    db, ib = b.search(q, 10, num_threads=1)
+    assert np.array_equal(ia, ib)
+    assert np.array_equal(da, db)
+
+
+def test_hnsw_threaded_search_matches_serial(rng):
+    """Queries are independent and the graph immutable: any search
+    thread count returns identical results."""
+    from convdr_tpu.retrieval.hnsw import HnswIndex
+
+    data = rng.randn(1500, 16).astype(np.float32)
+    q = rng.randn(64, 16).astype(np.float32)
+    idx = HnswIndex(16, m=16, ef_construction=80, ef_search=80)
+    idx.add(data)
+    d1, i1 = idx.search(q, 10, num_threads=1)
+    d4, i4 = idx.search(q, 10, num_threads=4)
+    assert np.array_equal(i1, i4)
+    assert np.array_equal(d1, d4)
+
+
+def test_hnsw_parallel_build_recall(rng):
+    """4-thread concurrent insertion (per-node locks) on clustered data:
+    the graph is schedule-dependent but the recall contract must hold,
+    incl. parallel adds stacked on an existing serial prefix."""
+    from convdr_tpu.retrieval.hnsw import HnswIndex
+
+    n, d, k = 3000, 24, 10
+    centers = rng.randn(40, d).astype(np.float32) * 4
+    data = (centers[rng.randint(0, 40, size=n)]
+            + rng.randn(n, d).astype(np.float32))
+    q = (centers[rng.randint(0, 40, size=32)]
+         + rng.randn(32, d).astype(np.float32))
+    full = ((q[:, None, :] - data[None, :, :]) ** 2).sum(-1)
+    exact = np.argsort(full, axis=1)[:, :k]
+
+    idx = HnswIndex(d, m=16, ef_construction=100, ef_search=100)
+    idx.add(data[:1000])                    # serial prefix
+    idx.add(data[1000:], num_threads=4)     # concurrent remainder
+    assert len(idx) == n
+    _d, ids = idx.search(q, k, num_threads=4)
+    recall = np.mean(
+        [len(set(ids[r]) & set(exact[r])) / k for r in range(32)]
+    )
+    assert recall > 0.9, recall
