@@ -58,7 +58,19 @@ def bench_tpu(
 
     q = jnp.asarray(queries)
     p = device_put_chunked(passages)  # >2 GB single transfers stall the tunnel
-    if storage_dtype != "float32":
+    if storage_dtype == "int8":
+        # SQ8 (ops/quant.py): fit on a 64k-row sample, quantize corpus on
+        # device (VPU), fold scales into the queries. Scores are unscaled
+        # integer IPs -- identical ranking, so throughput is comparable.
+        from convdr_tpu.ops.quant import Int8Quantizer
+        from convdr_tpu.retrieval.searcher import _quantize_block_dev
+
+        quant = Int8Quantizer.fit(passages[:65536])
+        p = _quantize_block_dev(p, jnp.asarray(quant.scales))
+        p.block_until_ready()
+        q_int, _tq = quant.quantize_queries(queries)
+        q = jnp.asarray(q_int)
+    elif storage_dtype != "float32":
         p = jnp.asarray(p, jnp.dtype(storage_dtype))
         p.block_until_ready()
 
@@ -99,9 +111,24 @@ def bench_cpu(queries: np.ndarray, passages: np.ndarray) -> float:
     return N_QUERIES / dt
 
 
-def ensure_scale_blocks(n_rows: int, n_blocks: int, cache_dir: str) -> None:
-    """Generate (or reuse) the deterministic on-disk bf16 blocks for
-    ``bench_scale``. Factored out so the hours-long 38M-row generation can
+def _scale_sample_quantizer():
+    """Deterministic SQ8 scales for the --scale corpus: fit on the first
+    256k rows of block 0's generator (re-derivable on resume without
+    holding a 14 GB block in RAM; FAISS trains on a sample the same way)."""
+    from convdr_tpu.ops.quant import Int8Quantizer
+
+    gen = np.random.Generator(np.random.PCG64(1000))
+    sample = gen.standard_normal((262144, DIM), dtype=np.float32)
+    return Int8Quantizer.fit(sample)
+
+
+def ensure_scale_blocks(
+    n_rows: int, n_blocks: int, cache_dir: str,
+    storage_dtype: str = "bfloat16",
+) -> None:
+    """Generate (or reuse) the deterministic on-disk blocks for
+    ``bench_scale`` (bf16 default; int8 = SQ8 with the scales sidecar).
+    Factored out so the hours-long 38M-row generation can
     run host-side in the background, with the timed TPU sweep run later in
     a quiet process (one busy CPU core skews host-side timing --
     CLAUDE.md "Round-2 gotchas")."""
@@ -116,10 +143,16 @@ def ensure_scale_blocks(n_rows: int, n_blocks: int, cache_dir: str) -> None:
 
     rows_per_block = -(-n_rows // n_blocks)
     os.makedirs(cache_dir, exist_ok=True)
-    stamp = os.path.join(cache_dir, f"stamp_{n_rows}_{n_blocks}_{DIM}")
+    stamp = os.path.join(
+        cache_dir, f"stamp_{n_rows}_{n_blocks}_{DIM}_{storage_dtype}"
+    )
     if os.path.exists(stamp):
         return
-    row_bytes = DIM * 2  # bf16 storage
+    quant = None
+    if storage_dtype == "int8":
+        quant = _scale_sample_quantizer()
+        quant.save(cache_dir)
+    row_bytes = DIM * (1 if storage_dtype == "int8" else 2)
     for b in range(n_blocks):
         lo = b * rows_per_block
         hi = min(n_rows, lo + rows_per_block)
@@ -140,9 +173,12 @@ def ensure_scale_blocks(n_rows: int, n_blocks: int, cache_dir: str) -> None:
             continue
         gen = np.random.Generator(np.random.PCG64(1000 + b))
         emb = gen.standard_normal((hi - lo, DIM), dtype=np.float32)
+        if storage_dtype == "int8":
+            emb = quant.quantize_passages(emb)
+        else:
+            emb = emb.astype(ml_dtypes.bfloat16)
         write_embedding_block(
-            cache_dir, b, emb.astype(ml_dtypes.bfloat16),
-            np.arange(lo, hi, dtype=np.int64),
+            cache_dir, b, emb, np.arange(lo, hi, dtype=np.int64),
         )
         print(f"generated block {b}: rows {lo}:{hi}", file=sys.stderr)
     with open(stamp, "w") as f:
@@ -155,6 +191,7 @@ def bench_scale(
     cache_dir: str,
     check_queries: int = 0,
     device_only: bool = False,
+    storage_dtype: str = "bfloat16",
 ) -> dict:
     """Reference-scale streamed multi-block search (disk -> host -> HBM).
 
@@ -186,10 +223,11 @@ def bench_scale(
     rng = np.random.RandomState(7)
     queries = rng.randn(N_QUERIES, DIM).astype(np.float32)
 
-    ensure_scale_blocks(n_rows, n_blocks, cache_dir)
+    ensure_scale_blocks(n_rows, n_blocks, cache_dir, storage_dtype)
 
-    cfg = SearchConfig(storage_dtype="bfloat16")
+    cfg = SearchConfig(storage_dtype=storage_dtype)
     searcher = BlockedSearcher(cfg)
+    itemsize = 1 if storage_dtype == "int8" else 2
 
     # ---- compile warm-up on ONE block (all blocks share a shape bucket),
     # then the timed end-to-end streamed sweep. ``device_only`` skips the
@@ -211,7 +249,7 @@ def bench_scale(
     # non-bucket size would re-pad inside the jit and re-enter the
     # capacity split, timing phantom padded rows (round-3 review finding).
     emb0, _ = load_embedding_block(cache_dir, 0)
-    row_bytes = DIM * 2  # bf16 on device
+    row_bytes = DIM * itemsize
     cap_rows = max(1024, int(cfg.max_device_block_bytes // row_bytes))
     limit = min(emb0.shape[0], cap_rows)
     bucket, rows0 = 8192, 8192
@@ -219,8 +257,16 @@ def bench_scale(
         rows0 = bucket
         bucket = -(-int(bucket * 1.25) // 128) * 128
     assert searcher._bucket_rows(rows0) == rows0, rows0  # self-bucketing
-    p0 = jnp.asarray(emb0[:rows0], jnp.bfloat16)
-    q = jnp.asarray(queries)
+    if storage_dtype == "int8":
+        from convdr_tpu.ops.quant import Int8Quantizer
+
+        searcher.quantizer = Int8Quantizer.load(cache_dir)
+        p0 = jnp.asarray(emb0[:rows0])  # already int8 on disk
+        q_ready, _tq = searcher._prepare_queries(queries)
+        q = jnp.asarray(q_ready)
+    else:
+        p0 = jnp.asarray(emb0[:rows0], jnp.bfloat16)
+        q = jnp.asarray(queries)
     iters = 8
 
     @jax.jit
@@ -237,10 +283,11 @@ def bench_scale(
     per_sub_dev = (time.perf_counter() - t0) / iters
     device_total = per_sub_dev * (n_rows / rows0)
 
-    passage_bytes = n_rows * DIM * 2  # bf16 storage
+    passage_bytes = n_rows * DIM * itemsize
     result = {
         "rows": n_rows,
         "blocks": n_blocks,
+        "storage_dtype": storage_dtype,
         "streamed_qps": N_QUERIES / wall if wall == wall else None,
         "device_qps": N_QUERIES / device_total,
         "wall_s": wall if wall == wall else None,
@@ -260,7 +307,14 @@ def bench_scale(
 
     # ---- recall-set contract vs a blocked numpy oracle (subset of queries)
     if check_queries:
-        qs = queries[:check_queries]
+        if storage_dtype == "int8":
+            # the SQ8 contract: ranking equals the integer oracle. The f32
+            # matmul below IS that oracle -- int products summed over 768
+            # dims stay under 2^24, so every accumulation is exact and the
+            # check is bit-deterministic (no near-tie caveat).
+            qs = searcher.quantizer.quantize_queries(queries[:check_queries])[0]
+        else:
+            qs = queries[:check_queries]
         best_s = None
         best_i = None
         for b in range(n_blocks):
@@ -419,6 +473,13 @@ def main():
     parser.add_argument("--blocks", type=int, default=8,
                         help="number of on-disk blocks for --scale")
     parser.add_argument(
+        "--storage_dtype", default="bfloat16",
+        choices=["bfloat16", "int8"],
+        help="--scale only: on-disk block dtype (blocks cache per dtype in "
+        "a subdirectory). int8 = SQ8, half the disk/upload of bf16 and "
+        "~2x the device rate (default-precision matmul, integer-exact)",
+    )
+    parser.add_argument(
         "--device_only", action="store_true",
         help="--scale only: skip the (disk+tunnel-bound) streamed sweep "
         "and retime only the device-side search rate on existing blocks",
@@ -462,18 +523,24 @@ def main():
     if args.gen_only and not args.scale:
         parser.error("--gen_only requires --scale (it generates the "
                      "on-disk blocks for the streamed benchmark)")
+    # per-dtype block caches coexist (same file names inside)
+    scale_cache = os.path.join(args.cache_dir, args.storage_dtype)
+
     if args.scale and args.gen_only:
-        ensure_scale_blocks(args.scale, args.blocks, args.cache_dir)
+        ensure_scale_blocks(args.scale, args.blocks, scale_cache,
+                            args.storage_dtype)
         print(json.dumps({"metric": "scale_blocks_ready", "value": args.scale,
                           "unit": "rows", "vs_baseline": args.blocks}))
         return
 
     if args.scale:
         r = bench_scale(
-            args.scale, args.blocks, args.cache_dir, args.check_queries,
-            device_only=args.device_only,
+            args.scale, args.blocks, scale_cache, args.check_queries,
+            device_only=args.device_only, storage_dtype=args.storage_dtype,
         )
         label = f"{args.scale // 1000}k"
+        if args.storage_dtype != "bfloat16":
+            label += f"_{args.storage_dtype}"
         if args.device_only:
             print(json.dumps({
                 "metric": f"device_search_qps_{label}",
@@ -560,7 +627,6 @@ def main():
         passages=passages_1m,  # uploads f32, casts on device (host cast crawls)
         queries=queries, iters=16, storage_dtype="bfloat16",
     )
-    del passages_1m
     print(
         json.dumps(
             {
@@ -568,6 +634,24 @@ def main():
                 "value": round(qps_1m_bf16, 2),
                 "unit": "queries/s",
                 "vs_baseline": round(qps_1m_bf16 / qps_1m, 2),
+            }
+        )
+    )
+    # int8 (SQ8) storage mode: quarter the HBM/disk, default-precision
+    # matmul speed (the in-kernel bf16 dequant fuses into the matmul),
+    # bit-exact vs the int8 oracle; ~98% top-100 overlap vs f32 exact
+    # (rescore_factor=2 recovers f32-grade ranking).
+    qps_1m_int8 = bench_tpu(
+        passages=passages_1m, queries=queries, iters=16, storage_dtype="int8",
+    )
+    del passages_1m
+    print(
+        json.dumps(
+            {
+                "metric": "flatip_top100_qps_1000k_int8_storage",
+                "value": round(qps_1m_int8, 2),
+                "unit": "queries/s",
+                "vs_baseline": round(qps_1m_int8 / qps_1m, 2),
             }
         )
     )

@@ -152,10 +152,22 @@ class SearchConfig:
     # merge pass). 524288 (= 1 GB of scores at Q=512) leaves room for
     # streamed block buffers alongside; raise it for HBM-resident corpora.
     passage_block_size: int = 524288
-    storage_dtype: str = "float32"  # embedding block storage on HBM
+    # Embedding block storage on HBM: "float32" (FAISS-bit exact),
+    # "bfloat16" (half the HBM/disk, exact vs the bf16-rounded oracle), or
+    # "int8" (SQ8 scalar quantization, ops/quant.py: quarter the HBM/disk,
+    # default-precision matmul speed, bit-exact vs the int8 oracle).
+    storage_dtype: str = "float32"
     # "highest" = oracle-bit-exact (FAISS-parity); "high"/"default" trade
-    # ~2e-3 score error for matmul speed (see ops/exact_search.py)
+    # ~2e-3 score error for matmul speed (see ops/exact_search.py). Ignored
+    # for int8 storage, whose default-precision matmul is already exact.
     matmul_precision: str = "highest"
+    # int8 only: re-rank the top (rescore_factor * top_n) quantized
+    # candidates with full-precision host-side inner products before the
+    # final cut (FAISS IndexRefineFlat's k_factor). Needs the original
+    # float rows (in-memory passages or float block files). 0 = off.
+    # Measured at 524k rows: f32 top-100 is ~98% covered by int8 top-100
+    # and fully covered by int8 top-150, so 2 recovers f32-grade ranking.
+    rescore_factor: int = 0
     # Device-side capacity cap: an on-disk block whose embedding matrix
     # exceeds this many bytes is searched as sequential sub-blocks (results
     # merged in order, preserving the lower-index tie preference). The

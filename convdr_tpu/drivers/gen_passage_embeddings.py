@@ -61,10 +61,11 @@ def get_arguments(argv=None):
                         help="disable mesh sharding (single device)")
     parser.add_argument(
         "--storage_dtype", default="float32",
-        choices=["float32", "bfloat16"],
+        choices=["float32", "bfloat16", "int8"],
         help="on-disk block dtype: float32 keeps reference-format blocks; "
-        "bfloat16 halves disk+HBM for capacity-mode search (pass the same "
-        "value to run_convdr_inference)",
+        "bfloat16 halves disk+HBM for capacity-mode search; int8 = SQ8 "
+        "scalar quantization, quarter disk+HBM (writes an int8_scales.npy "
+        "sidecar). Pass the same value to run_convdr_inference",
     )
     parser.add_argument("--block_format", default="pickle",
                         choices=["pickle", "native"],

@@ -75,9 +75,20 @@ def get_arguments(argv=None):
     parser.add_argument("--top_n", default=100, type=int)
     parser.add_argument(
         "--storage_dtype", default="float32",
-        choices=["float32", "bfloat16"],
+        choices=["float32", "bfloat16", "int8"],
         help="HBM dtype for embedding blocks during search (match the "
-        "gen_passage_embeddings --storage_dtype; f32 accumulation either way)",
+        "gen_passage_embeddings --storage_dtype; f32 accumulation either "
+        "way). int8 = SQ8 scalar quantization (quarter the HBM/disk, "
+        "default-precision matmul speed; scales come from the blocks' "
+        "int8_scales.npy sidecar)",
+    )
+    parser.add_argument(
+        "--rescore_factor", default=0, type=int,
+        help="int8 only: re-rank the top (rescore_factor * top_n) "
+        "quantized candidates with full-precision host-side scores before "
+        "the final cut (FAISS IndexRefineFlat's k_factor). Needs FLOAT "
+        "block files searched under --storage_dtype int8 (quantized scan, "
+        "original rows refine). 2 recovers f32-grade ranking; 0 = off",
     )
     parser.add_argument(
         "--matmul_precision", default="highest",
@@ -210,6 +221,7 @@ def main(argv=None):
             storage_dtype=args.storage_dtype,
             matmul_precision=args.matmul_precision,
             max_device_block_bytes=args.max_device_block_bytes,
+            rescore_factor=args.rescore_factor,
         ),
         mesh=mesh,
     )

@@ -158,7 +158,7 @@ _MAGIC = 0x434E5642304B4C42
 
 
 def _block_dtype_code(dtype: np.dtype):
-    """numpy dtype -> header dtype code (0 = f32, 1 = bf16)."""
+    """numpy dtype -> header dtype code (0 = f32, 1 = bf16, 2 = int8)."""
     import ml_dtypes
 
     dtype = np.dtype(dtype)
@@ -166,7 +166,9 @@ def _block_dtype_code(dtype: np.dtype):
         return 0, dtype
     if dtype == np.dtype(ml_dtypes.bfloat16):
         return 1, dtype
-    raise ValueError(f"native block store supports f32/bf16, not {dtype}")
+    if dtype == np.int8:
+        return 2, dtype
+    raise ValueError(f"native block store supports f32/bf16/int8, not {dtype}")
 
 
 def _block_dtype_from_code(code: int) -> np.dtype:
@@ -176,6 +178,8 @@ def _block_dtype_from_code(code: int) -> np.dtype:
         return np.dtype(np.float32)
     if code == 1:
         return np.dtype(ml_dtypes.bfloat16)
+    if code == 2:
+        return np.dtype(np.int8)
     raise IOError(f"unknown native-block dtype code {code}")
 
 

@@ -9,3 +9,11 @@ from convdr_tpu.ops.pallas_search import (  # noqa: F401
     pallas_flat_ip_topk,
     streaming_flat_ip_topk,
 )
+from convdr_tpu.ops.quant import (  # noqa: F401
+    Int8Quantizer,
+    fit_int8_scales,
+    int8_topk_oracle,
+    quantize_passages,
+    quantize_queries,
+    rescore_candidates,
+)

@@ -293,7 +293,13 @@ def flat_ip_topk(
     """Exact FlatIP top-k: scan over row blocks of the passage matrix.
 
     queries  [Q, D] (any float dtype; promoted to the matmul dtype)
-    passages [N, D] (bf16/f32 storage; fp32 accumulation on the MXU)
+    passages [N, D] (bf16/f32 storage; fp32 accumulation on the MXU).
+        int8 passages select the SQ8 path (``ops/quant.py``): queries must
+        then be the int-valued f32 rows from ``quantize_queries`` and the
+        returned scores are unscaled integer inner products — bit-exact vs
+        :func:`convdr_tpu.ops.quant.int8_topk_oracle` (``precision`` is
+        ignored; the default-precision bf16 matmul is already integer-exact
+        at dim <= 1040).
     valid_rows: logical corpus size if ``passages`` is padded (-1 = N).
         May be a traced scalar (used by the sharded search where each shard's
         valid row count is data-dependent).
@@ -333,17 +339,34 @@ def flat_ip_topk(
         if valid is None:
             valid = jnp.asarray(n)  # zero-pad rows must not surface
 
+    int8_storage = passages.dtype == jnp.int8
+
     def block_topk(block, base):
-        # HIGHEST: full-f32 MXU passes. The default TPU precision computes
-        # in bf16 (max relative score error ~1e-3), which reorders close
-        # candidates and breaks bit-exact recall parity with FlatIP; at
-        # retrieval sizes the matmul is HBM-bound so HIGHEST costs ~6%.
-        scores = jnp.dot(
-            q,
-            block.T,
-            preferred_element_type=jnp.float32,
-            precision=_PRECISIONS[precision],
-        )  # [Q, block_rows] fp32
+        if int8_storage:
+            # SQ8 path (ops/quant.py): operands are int8 / int-valued f32.
+            # Every int8 value and every product of two is exactly
+            # representable in bf16, and partial sums stay below 2^24 at
+            # dim<=1040, so this DEFAULT-precision bf16 matmul is bit-exact
+            # integer arithmetic — HIGHEST would only add MXU passes for
+            # zero accuracy. (A native s8xs8->s32 dot_general is NOT used:
+            # XLA scalarizes it on TPU, ~1600x slower than this.)
+            scores = jnp.dot(
+                q.astype(jnp.bfloat16),
+                block.astype(jnp.bfloat16).T,
+                preferred_element_type=jnp.float32,
+            )  # [Q, block_rows] integer-valued fp32
+        else:
+            # HIGHEST: full-f32 MXU passes. The default TPU precision
+            # computes in bf16 (max relative score error ~1e-3), which
+            # reorders close candidates and breaks bit-exact recall parity
+            # with FlatIP; at retrieval sizes the matmul is HBM-bound so
+            # HIGHEST costs ~6%.
+            scores = jnp.dot(
+                q,
+                block.T,
+                preferred_element_type=jnp.float32,
+                precision=_PRECISIONS[precision],
+            )  # [Q, block_rows] fp32
         block_valid = None if valid is None else valid - base
         blk_s, blk_i = _chunked_topk(
             scores, min(k_eff, block_rows), group=group, valid=block_valid,

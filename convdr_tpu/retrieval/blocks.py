@@ -51,9 +51,11 @@ def write_embedding_block(
     """fmt="pickle" writes reference-compatible files; fmt="native" writes
     one .cnb file via the C++ block store (faster load on the serving path).
 
-    Embedding dtype is preserved for f32/bf16 in BOTH formats (bf16 storage
-    halves disk + HBM for capacity-mode search, SearchConfig.storage_dtype);
-    float64 is downcast to the reference's float32.
+    Embedding dtype is preserved for f32/bf16/int8 in BOTH formats (bf16
+    storage halves disk + HBM for capacity-mode search, int8 quarters it —
+    SearchConfig.storage_dtype; int8 blocks pair with the int8_scales.npy
+    sidecar from ops/quant.py); float64 is downcast to the reference's
+    float32.
     """
     os.makedirs(data_dir, exist_ok=True)
     emb = np.asarray(embeddings)

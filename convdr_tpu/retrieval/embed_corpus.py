@@ -28,6 +28,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from convdr_tpu.data.token_cache import TokenCache
+from convdr_tpu.ops.quant import Int8Quantizer
 from convdr_tpu.retrieval.blocks import write_embedding_block
 from convdr_tpu.utils.hostops import concat_rows
 
@@ -192,15 +193,21 @@ def generate_embeddings(
     reference block format byte-readable by the upstream consumers
     (run_convdr_inference.py:163-175 pickles are f32); "bfloat16" halves
     disk + HBM for capacity-mode search (searcher accumulates in f32, so
-    recall sets match the bf16-rounded oracle -- see bench.py --scale).
+    recall sets match the bf16-rounded oracle -- see bench.py --scale);
+    "int8" is SQ8 scalar quantization (ops/quant.py; quarter disk/HBM,
+    default-precision matmul speed, int8_scales.npy sidecar written next
+    to the blocks, results bit-exact vs the int8 oracle).
     """
     storage_np = np.dtype("float32") if storage_dtype == "float32" else None
-    if storage_dtype not in ("float32", "bfloat16"):
+    if storage_dtype not in ("float32", "bfloat16", "int8"):
         raise ValueError(f"unknown storage_dtype {storage_dtype!r}")
     if storage_dtype == "bfloat16":
         import ml_dtypes
 
         storage_np = np.dtype(ml_dtypes.bfloat16)
+    quantizer = None  # int8: fitted on the first non-empty block
+    if storage_dtype == "int8":
+        storage_np = np.dtype(np.float32)  # blocks quantize after concat
     if length_buckets is not None:
         length_buckets = tuple(sorted(length_buckets))
         if length_buckets[-1] < cache.max_seq_length:
@@ -259,10 +266,21 @@ def generate_embeddings(
         if embs_out:
             block_embs = concat_rows(embs_out).astype(storage_np, copy=False)
             emb_dim = block_embs.shape[-1]
+            if storage_dtype == "int8":
+                # SQ8 (ops/quant.py): fit per-dim scales on the first
+                # non-empty block (an unbiased i%num_blocks round-robin
+                # shard — the sample FAISS trains its scalar quantizer
+                # on), persist the sidecar the searcher folds into
+                # queries, clip later blocks' rare out-of-range values.
+                if quantizer is None:
+                    quantizer = Int8Quantizer.fit(block_embs)
+                    quantizer.save(out_dir)
+                block_embs = quantizer.quantize_passages(block_embs)
         else:
             # empty round-robin shard (num_blocks > record count): keep the
             # real embedding dim so downstream loads/search stay well-typed
-            block_embs = np.zeros((0, emb_dim), storage_np)
+            empty_np = np.dtype(np.int8) if storage_dtype == "int8" else storage_np
+            block_embs = np.zeros((0, emb_dim), empty_np)
         block_ids = (
             np.concatenate(ids_out, axis=0) if ids_out else np.zeros((0,), np.int64)
         )

@@ -26,6 +26,7 @@ from jax.sharding import Mesh
 
 from convdr_tpu.core.config import SearchConfig
 from convdr_tpu.ops.exact_search import NEG_INF, flat_ip_topk, merge_topk
+from convdr_tpu.ops.quant import Int8Quantizer, rescore_candidates
 from convdr_tpu.parallel.mesh import pad_to_multiple
 from convdr_tpu.parallel.sharded_search import sharded_flat_ip_topk
 from convdr_tpu.retrieval.blocks import iter_embedding_blocks
@@ -92,6 +93,15 @@ def _device_put_padded(block_embs: np.ndarray, padded_n: int, dtype) -> jnp.ndar
     return device_put_chunked(block_embs, dtype, pad_rows_to=padded_n)
 
 
+@jax.jit
+def _quantize_block_dev(p: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
+    """Device-side SQ8 of a float block (round-half-even, clip) —
+    bit-identical to the host ``quantize_passages`` (same IEEE divide +
+    rint), but ~free on the VPU vs seconds of single-core numpy."""
+    q = jnp.rint(p.astype(jnp.float32) / scales[None, :])
+    return jnp.clip(q, -127, 127).astype(jnp.int8)
+
+
 class BlockedSearcher:
     """Exact top-N retrieval over on-disk embedding blocks."""
 
@@ -101,10 +111,47 @@ class BlockedSearcher:
         *,
         mesh: Optional[Mesh] = None,
         index_axis: str = "index",
+        quantizer: Optional[Int8Quantizer] = None,
     ):
         self.config = config
         self.mesh = mesh
         self.index_axis = index_axis
+        # int8 storage needs the fitted per-dimension scales to fold into
+        # queries; pass one here, or search_blocks loads the sidecar from
+        # the block directory, or search_arrays fits on the passed corpus.
+        self.quantizer = quantizer
+
+    # -- int8 (SQ8) plumbing -------------------------------------------
+    @property
+    def _int8(self) -> bool:
+        return self.config.storage_dtype == "int8"
+
+    def _require_quantizer(self) -> Int8Quantizer:
+        if self.quantizer is None:
+            raise ValueError(
+                "storage_dtype='int8' needs fitted scales: pass "
+                "quantizer=Int8Quantizer(...) or search a block dir with "
+                "an int8_scales.npy sidecar (generate_embeddings writes it)"
+            )
+        return self.quantizer
+
+    def _prepare_queries(self, query_embs: np.ndarray):
+        """-> (matmul-ready queries, per-query score scale or None).
+
+        int8 storage folds the passage scales into the queries and
+        quantizes them (ops/quant.py); the returned int-valued f32 rows
+        drive an integer-exact scan whose scores are rescaled by ``tq``
+        only at the end (per-query positive scale: ranking unaffected).
+        """
+        if self._int8:
+            return self._require_quantizer().quantize_queries(query_embs)
+        return np.asarray(query_embs), None
+
+    @staticmethod
+    def _scale_scores(s: np.ndarray, i: np.ndarray, tq) -> np.ndarray:
+        if tq is None:
+            return s
+        return np.where(i >= 0, s * tq, NEG_INF).astype(np.float32)
 
     def _bucket_rows(self, n: int) -> int:
         """Pad block row counts to a <=1.25x geometric ladder of buckets
@@ -129,11 +176,13 @@ class BlockedSearcher:
         self, query_embs: np.ndarray, block_embs: np.ndarray, top_n: int
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Top-N of one block; returns (scores, local row indices)."""
-        s, i = self._search_block_device(query_embs, block_embs, top_n)
-        return np.asarray(s), np.asarray(i)
+        q_ready, tq = self._prepare_queries(query_embs)
+        s, i = self._search_block_device(q_ready, block_embs, top_n)
+        s, i = np.asarray(s), np.asarray(i)
+        return self._scale_scores(s, i, tq), i
 
     def _search_block_device(
-        self, query_embs: np.ndarray, block_embs: np.ndarray, top_n: int
+        self, q_ready, block_embs: np.ndarray, top_n: int
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Device-array variant of :meth:`search_block`: no host sync, so
         the block-streaming loop pipelines the next block's HBM upload
@@ -159,7 +208,7 @@ class BlockedSearcher:
             for lo in range(0, n, cap_rows):
                 hi = min(n, lo + cap_rows)
                 s, i = self._search_block_device(
-                    query_embs, block_embs[lo:hi], top_n
+                    q_ready, block_embs[lo:hi], top_n
                 )
                 i = jnp.where(i >= 0, i + lo, -1)
                 if merged_s is None:
@@ -171,8 +220,18 @@ class BlockedSearcher:
             return merged_s, merged_i
         padded_n = self._bucket_rows(n)
         storage_dtype = jnp.dtype(self.config.storage_dtype)
-        p = _device_put_padded(block_embs, padded_n, storage_dtype)
-        q = jnp.asarray(query_embs)
+        if self._int8 and block_embs.dtype != np.int8:
+            # float block under int8 config: upload in source precision
+            # (a plain int8 cast would truncate, not quantize), SQ8 on the
+            # VPU, free the float copy. Serving-style setups quantize once
+            # and keep only the int8 corpus resident.
+            scales = jnp.asarray(self._require_quantizer().scales)
+            p_float = device_put_chunked(block_embs, pad_rows_to=padded_n)
+            p = _quantize_block_dev(p_float, scales)
+            del p_float
+        else:
+            p = _device_put_padded(block_embs, padded_n, storage_dtype)
+        q = jnp.asarray(q_ready)
         if self.mesh is not None:
             s, i = sharded_flat_ip_topk(
                 self.mesh,
@@ -208,7 +267,43 @@ class BlockedSearcher:
 
         ``max_blocks`` limits the scan (e.g. a single-block compile warm-up
         before a timed full sweep).
+
+        int8 storage: the scales sidecar is loaded from ``ann_data_dir``
+        (unless a quantizer was passed at construction); block scans run on
+        unscaled integer scores and the merged result is rescaled once per
+        query. With ``config.rescore_factor`` > 0 the blocks must be float
+        files (the original rows are the refinement source); each block's
+        top ``rescore_factor * top_n`` quantized candidates are re-ranked
+        host-side at full precision before the cross-block merge — FAISS's
+        ``IndexRefineFlat(IndexScalarQuantizer)`` composition.
         """
+        if self._int8 and self.quantizer is None:
+            self.quantizer = Int8Quantizer.load_optional(ann_data_dir)
+            if self.quantizer is None:
+                # no sidecar: float blocks can self-fit (block 0 is an
+                # unbiased round-robin shard, same sample FAISS trains on);
+                # int8 blocks without scales are unusable.
+                from convdr_tpu.retrieval.blocks import load_embedding_block
+
+                blk = load_embedding_block(ann_data_dir, 0)
+                if blk is None:
+                    raise FileNotFoundError(
+                        f"No embedding blocks found in {ann_data_dir}"
+                    )
+                if blk[0].dtype == np.int8:
+                    raise FileNotFoundError(
+                        f"int8 blocks in {ann_data_dir} have no "
+                        "int8_scales.npy sidecar; regenerate with "
+                        "generate_embeddings(storage_dtype='int8')"
+                    )
+                logger.warning(
+                    "no int8_scales.npy in %s; fitting scales on block 0",
+                    ann_data_dir,
+                )
+                self.quantizer = Int8Quantizer.fit(blk[0])
+        q_ready, tq = self._prepare_queries(query_embs)
+        rescoring = self._int8 and self.config.rescore_factor > 0
+        q_orig = np.asarray(query_embs, np.float32) if rescoring else None
         merged_s: Optional[jnp.ndarray] = None
         merged_i: Optional[jnp.ndarray] = None
         qn = query_embs.shape[0]
@@ -231,7 +326,19 @@ class BlockedSearcher:
             if prev_merged is not None:
                 jax.block_until_ready(prev_merged)
             prev_merged = merged_s
-            s, i = self._search_block_device(query_embs, emb, top_n)
+            if rescoring:
+                if emb.dtype == np.int8:
+                    raise ValueError(
+                        "rescore_factor needs float block files (the "
+                        "original rows are the refinement source); these "
+                        "blocks are already int8"
+                    )
+                m = self.config.rescore_factor * top_n
+                s_m, i_m = self._search_block_device(q_ready, emb, m)
+                s, i = rescore_candidates(q_orig, emb, np.asarray(i_m), top_n)
+                s, i = jnp.asarray(s), jnp.asarray(i)
+            else:
+                s, i = self._search_block_device(q_ready, emb, top_n)
             # local row -> token-cache offset on device; -1 rows stay -1
             offs = jnp.take(
                 jnp.asarray(emb2offset.astype(np.int64)),
@@ -255,6 +362,8 @@ class BlockedSearcher:
             elapsed, qn, elapsed / max(qn, 1),
         )
         out_i = np.where(out_s <= NEG_INF, -1, out_i)
+        if not rescoring:
+            out_s = self._scale_scores(out_s, out_i, tq)
         return out_s, out_i
 
     def search_arrays(
@@ -264,7 +373,32 @@ class BlockedSearcher:
         emb2offset: np.ndarray,
         top_n: int,
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """In-memory single-block convenience path."""
-        s, i = self.search_block(query_embs, passage_embs, top_n)
+        """In-memory single-block convenience path.
+
+        int8 storage: scales fit on the passed corpus when no quantizer is
+        set (float input), and ``config.rescore_factor`` > 0 re-ranks the
+        quantized top ``factor * top_n`` with full-precision host scores.
+        """
+        if self._int8 and self.quantizer is None:
+            if passage_embs.dtype == np.int8:
+                self._require_quantizer()  # raises with guidance
+            self.quantizer = Int8Quantizer.fit(passage_embs)
+        if self._int8 and self.config.rescore_factor > 0:
+            if passage_embs.dtype == np.int8:
+                raise ValueError(
+                    "rescore_factor needs the original float rows; the "
+                    "passed corpus is already int8"
+                )
+            q_ready, _tq = self._prepare_queries(query_embs)
+            m = self.config.rescore_factor * top_n
+            _s_m, i_m = self._search_block_device(q_ready, passage_embs, m)
+            s, i = rescore_candidates(
+                np.asarray(query_embs, np.float32),
+                passage_embs,
+                np.asarray(i_m),
+                top_n,
+            )
+        else:
+            s, i = self.search_block(query_embs, passage_embs, top_n)
         offsets = np.where(i >= 0, emb2offset[np.clip(i, 0, None)], -1)
         return s, offsets

@@ -34,12 +34,14 @@ struct BlockHeader {
   int64_t rows;
   int64_t dim;
   // dtype code: 0 = float32 (original format; field was "reserved"),
-  // 1 = bfloat16 (capacity mode, raw 2-byte elements).
+  // 1 = bfloat16 (capacity mode, raw 2-byte elements),
+  // 2 = int8 (SQ8 scalar quantization; scales live in the Python-side
+  //     int8_scales.npy sidecar, ops/quant.py).
   int64_t dtype_code;
 };
 
 static int64_t convdr_elem_bytes(int64_t dtype_code) {
-  return dtype_code == 1 ? 2 : 4;
+  return dtype_code == 2 ? 1 : dtype_code == 1 ? 2 : 4;
 }
 
 // ---------------------------------------------------------------------------
@@ -48,7 +50,7 @@ static int64_t convdr_elem_bytes(int64_t dtype_code) {
 int convdr_write_block_ex(const char* path, const void* emb,
                           const int64_t* ids, int64_t rows, int64_t dim,
                           int64_t dtype_code) {
-  if (dtype_code != 0 && dtype_code != 1) return 6;
+  if (dtype_code != 0 && dtype_code != 1 && dtype_code != 2) return 6;
   FILE* f = std::fopen(path, "wb");
   if (!f) return 1;
   BlockHeader hdr{kMagic, rows, dim, dtype_code};

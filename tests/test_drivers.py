@@ -176,6 +176,56 @@ def test_04b_inference_driver_meshed(workdir):
         assert meshed == pytest.approx(base), (precision, meshed, base)
 
 
+def test_04c_inference_driver_int8(workdir):
+    """SQ8 surface end-to-end: int8 block generation writes the scales
+    sidecar; --storage_dtype int8 searches it; float blocks under int8
+    with --rescore_factor covering the tiny corpus reproduce the
+    full-precision metrics exactly (FAISS SQ/RefineFlat parity)."""
+    rows = gen_passage_embeddings.main([
+        "--data_dir", str(workdir / "processed"),
+        "--checkpoint", str(workdir / "model"),
+        "--model_type", "rdot_nll",
+        "--output_dir", str(workdir / "embeddings_int8"),
+        "--cache_dir", str(workdir / "cache"),
+        "--per_gpu_eval_batch_size", "8",
+        "--num_blocks", "2",
+        "--dtype", "float32",
+        "--arch_size", "tiny",
+        "--storage_dtype", "int8",
+        "--no_mesh",
+    ])
+    assert rows == N_PASSAGES
+    assert (workdir / "embeddings_int8" / "int8_scales.npy").exists()
+
+    def infer(ann_dir, *extra):
+        return run_convdr_inference.main([
+            "--model_path", str(workdir / "model"),
+            "--eval_file", str(workdir / "raw" / "eval_topics.jsonl"),
+            "--model_type", "rdot_nll",
+            "--ann_data_dir", ann_dir,
+            "--processed_data_dir", str(workdir / "processed"),
+            "--raw_data_dir", str(workdir / "raw"),
+            "--qrels", str(workdir / "raw" / "qrels.tsv"),
+            "--output_query_type", "raw",
+            "--top_n", "10",
+            "--max_concat_length", "48",
+            "--arch_size", "tiny",
+            "--no_mesh",
+            *extra,
+        ])
+
+    base = infer(str(workdir / "embeddings"))
+    sq8 = infer(str(workdir / "embeddings_int8"), "--storage_dtype", "int8")
+    assert "ndcg_cut_3" in sq8 and sq8["mrr"] > 0
+    # float blocks + quantized scan + full-precision refine over the whole
+    # tiny corpus (factor 4 * top 10 > 24 passages) == the f32 run
+    refined = infer(
+        str(workdir / "embeddings"),
+        "--storage_dtype", "int8", "--rescore_factor", "4",
+    )
+    assert refined == pytest.approx(base), (refined, base)
+
+
 def test_05_cross_validation_drivers(workdir):
     """5-fold CV surface: fold files, per-fold models, fold inference."""
     raw = workdir / "raw"
