@@ -17,3 +17,4 @@ from convdr_tpu.ops.quant import (  # noqa: F401
     quantize_queries,
     rescore_candidates,
 )
+from convdr_tpu.ops.kmeans import assign_top_t, fit_kmeans  # noqa: F401

@@ -1,0 +1,204 @@
+"""IVF index + MXU k-means tests (FAISS IVFFlat/IVF-SQ8 counterparts).
+
+The reference delegates all retrieval to FAISS
+(/root/reference/drivers/run_convdr_inference.py:157-242); the IVF family is
+the FAISS capability class this package re-implements TPU-first in
+convdr_tpu/retrieval/ivf.py + convdr_tpu/ops/kmeans.py.
+"""
+
+import numpy as np
+import pytest
+
+from convdr_tpu.ops.exact_search import topk_oracle
+from convdr_tpu.ops.kmeans import _split_empty, assign_top_t, fit_kmeans
+from convdr_tpu.ops.quant import int8_topk_oracle
+from convdr_tpu.retrieval.ivf import IVFIndex, _bounded_assign
+
+
+def _clustered(n, d, n_clusters, seed=0, spread=0.05):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    centers = rng.standard_normal((n_clusters, d), dtype=np.float32)
+    which = rng.integers(0, n_clusters, size=n)
+    x = centers[which] + spread * rng.standard_normal(
+        (n, d), dtype=np.float32
+    )
+    return x.astype(np.float32), centers, which
+
+
+def test_kmeans_recovers_separated_clusters():
+    x, centers, which = _clustered(600, 16, 4, seed=1, spread=0.02)
+    c = fit_kmeans(x, 4, iters=25, seed=0)
+    # every fitted centroid sits on top of one true center, bijectively
+    d2 = ((c[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+    match = d2.argmin(axis=1)
+    assert sorted(match) == [0, 1, 2, 3]
+    assert np.all(d2.min(axis=1) < 0.01)
+
+
+def test_kmeans_handles_degenerate_duplicates():
+    # more clusters than distinct points: must stay finite, no crash
+    x = np.repeat(np.eye(3, 8, dtype=np.float32), 40, axis=0)
+    c = fit_kmeans(x, 6, iters=5, seed=0)
+    assert np.all(np.isfinite(c))
+    assert c.shape == (6, 8)
+
+
+def test_split_empty_reseeds_from_largest():
+    c = np.array([[1.0, 0.0], [0.0, 1.0], [5.0, 5.0]], np.float32)
+    counts = np.array([10.0, 0.0, 0.0], np.float32)
+    c2, n_empty = _split_empty(c, counts)
+    assert n_empty == 2
+    assert np.all(np.isfinite(c2))
+    # donors perturbed off the original, not duplicated exactly
+    assert not np.allclose(c2[1], c[1])
+
+
+def test_assign_top_t_matches_numpy():
+    rng = np.random.Generator(np.random.PCG64(7))
+    x = rng.standard_normal((300, 12), dtype=np.float32)
+    c = rng.standard_normal((20, 12), dtype=np.float32)
+    got = assign_top_t(x, c, t=3)
+    d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+    want = np.argsort(d2, axis=1, kind="stable")[:, :3]
+    # bf16 assignment matmul may flip near-equidistant pairs; the nearest
+    # centroid itself must agree except on genuine near-ties
+    gap = np.partition(d2, 1, axis=1)
+    clear = (gap[:, 1] - gap[:, 0]) > 1e-2
+    assert np.array_equal(got[clear, 0], want[clear, 0])
+    assert got.shape == (300, 3)
+
+
+def test_bounded_assign_respects_capacity_and_places_all():
+    rng = np.random.Generator(np.random.PCG64(3))
+    n, k, t = 500, 8, 3
+    top = np.stack(
+        [rng.permutation(k)[:t] for _ in range(n)]
+    ).astype(np.int32)
+    cap = int(np.ceil(1.1 * n / k))
+    listid, slot, stats = _bounded_assign(top, k, cap)
+    assert np.all(listid >= 0) and np.all(slot >= 0)
+    counts = np.bincount(listid, minlength=k)
+    assert counts.max() <= cap
+    assert counts.sum() == n
+    # (list, slot) pairs are unique — no overwrites in the packed tensor
+    pos = listid.astype(np.int64) * cap + slot
+    assert len(np.unique(pos)) == n
+    assert stats["placed_first_choice"] + stats["spilled"] == n
+
+
+def test_ivf_full_probe_matches_flat_oracle():
+    rng = np.random.Generator(np.random.PCG64(11))
+    x = rng.standard_normal((2000, 24), dtype=np.float32)
+    q = rng.standard_normal((16, 24), dtype=np.float32)
+    idx = IVFIndex.build(x, 16, iters=8, seed=0)
+    s, i = idx.search(q, 10, nprobe=16)  # nprobe == nlist: every row scored
+    o_s, o_i = topk_oracle(q, x, 10)
+    for row in range(q.shape[0]):
+        assert set(i[row]) == set(o_i[row])
+    np.testing.assert_allclose(np.sort(s, 1), np.sort(o_s, 1), rtol=1e-5)
+
+
+def test_ivf_recall_on_clustered_corpus():
+    x, centers, _ = _clustered(4000, 32, 64, seed=5, spread=0.05)
+    rng = np.random.Generator(np.random.PCG64(9))
+    # queries near corpus points: the realistic retrieval regime
+    q = x[rng.choice(4000, 32, replace=False)] + 0.01 * rng.standard_normal(
+        (32, 32), dtype=np.float32
+    )
+    idx = IVFIndex.build(x, 32, iters=15, seed=0)
+    _, o_i = topk_oracle(q, x, 10)
+    _, i4 = idx.search(q, 10, nprobe=4)
+    recall4 = np.mean([
+        len(set(i4[r]) & set(o_i[r])) / 10 for r in range(32)
+    ])
+    _, i16 = idx.search(q, 10, nprobe=16)
+    recall16 = np.mean([
+        len(set(i16[r]) & set(o_i[r])) / 10 for r in range(32)
+    ])
+    assert recall4 >= 0.75, recall4
+    assert recall16 >= 0.95, recall16
+    assert recall16 >= recall4
+
+
+def test_ivf_int8_full_probe_matches_int8_oracle():
+    rng = np.random.Generator(np.random.PCG64(13))
+    x = rng.standard_normal((1500, 16), dtype=np.float32)
+    q = rng.standard_normal((8, 16), dtype=np.float32)
+    idx = IVFIndex.build(x, 12, storage_dtype="int8", iters=8, seed=0)
+    s, i = idx.search(q, 10, nprobe=12)
+    q_int, tq = idx.quantizer.quantize_queries(q)
+    p_i8 = idx.quantizer.quantize_passages(x)
+    o_s, o_i = int8_topk_oracle(q_int, p_i8, 10)
+    for row in range(q.shape[0]):
+        assert set(i[row]) == set(o_i[row])
+    np.testing.assert_allclose(
+        np.sort(s, 1), np.sort(o_s * tq, 1), rtol=1e-3
+    )
+
+
+def test_ivf_custom_rowids_returned():
+    rng = np.random.Generator(np.random.PCG64(17))
+    x = rng.standard_normal((400, 8), dtype=np.float32)
+    # unit rows: a row's best inner-product match is itself
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    payload = (np.arange(400, dtype=np.int32) * 7 + 3)
+    idx = IVFIndex.build(x, 4, rowids=payload, iters=5, seed=0)
+    _, i = idx.search(x[:5], 1, nprobe=4)
+    np.testing.assert_array_equal(i[:, 0], payload[:5])
+
+
+def test_ivf_query_chunking_is_transparent():
+    rng = np.random.Generator(np.random.PCG64(19))
+    x = rng.standard_normal((800, 16), dtype=np.float32)
+    q = rng.standard_normal((9, 16), dtype=np.float32)
+    idx = IVFIndex.build(x, 8, iters=5, seed=0)
+    s1, i1 = idx.search(q, 5, nprobe=3)
+    s2, i2 = idx.search(q, 5, nprobe=3, max_candidate_bytes=1)  # 1 q/chunk
+    # XLA picks batch-shape-dependent contraction orders, so scores are
+    # allclose (f32 reassociation), not bit-equal; result sets must match
+    for row in range(q.shape[0]):
+        assert set(i1[row]) == set(i2[row])
+    np.testing.assert_allclose(s1, s2, rtol=1e-5)
+
+
+def test_ivf_save_load_roundtrip(tmp_path):
+    rng = np.random.Generator(np.random.PCG64(23))
+    x = rng.standard_normal((600, 16), dtype=np.float32)
+    q = rng.standard_normal((4, 16), dtype=np.float32)
+    for dtype in ("float32", "int8"):
+        idx = IVFIndex.build(x, 8, storage_dtype=dtype, iters=5, seed=0)
+        s1, i1 = idx.search(q, 7, nprobe=8)
+        d = tmp_path / dtype
+        idx.save(str(d))
+        idx2 = IVFIndex.load(str(d))
+        assert idx2.storage_dtype == dtype
+        assert idx2.ntotal == 600
+        s2, i2 = idx2.search(q, 7, nprobe=8)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_array_equal(s1, s2)
+
+
+def test_ivf_k_exceeding_candidates_pads():
+    rng = np.random.Generator(np.random.PCG64(29))
+    x = rng.standard_normal((100, 8), dtype=np.float32)
+    idx = IVFIndex.build(x, 10, iters=4, seed=0)
+    s, i = idx.search(x[:3], 50, nprobe=1)  # one list holds ~<=13 rows
+    assert s.shape == (3, 50)
+    assert np.all(i[s == np.finfo(np.float32).min] == -1)
+    valid = i[0][i[0] >= 0]
+    assert len(valid) == len(set(valid.tolist()))
+
+
+def test_ivf_rejects_bad_shapes():
+    with pytest.raises(ValueError):
+        IVFIndex(
+            np.zeros((4, 8), np.float32),
+            np.zeros((4, 10, 8), np.float32),
+            np.zeros((4, 9), np.int32),  # rowids shape mismatch
+        )
+    with pytest.raises(ValueError):
+        IVFIndex(
+            np.zeros((4, 8), np.float32),
+            np.zeros((4, 10, 8), np.int8),  # int8 without quantizer
+            np.zeros((4, 10), np.int32),
+        )
