@@ -115,6 +115,18 @@ def get_arguments(argv=None):
                         "faster, inside bf16 noise), erf under f32")
     parser.add_argument("--arch_size", default="base", choices=["base", "tiny"],
                     help="tiny = miniature architecture for smoke tests")
+    parser.add_argument(
+        "--ivf_dir", type=str, default="",
+        help="search a prebuilt IVF index (build_ivf_index driver) instead "
+        "of streaming --ann_data_dir's blocks: approximate top-N at a "
+        "fraction of the exact scan's latency (--nprobe trades recall "
+        "for speed). --ann_data_dir is still required for id maps",
+    )
+    parser.add_argument(
+        "--nprobe", type=int, default=32,
+        help="IVF only: lists probed per query (recall knob; "
+        "nprobe == nlist is exhaustive)",
+    )
     parser.add_argument("--no_mesh", action="store_true")
     parser.add_argument(
         "--profile_dir", type=str, default="",
@@ -215,20 +227,34 @@ def main(argv=None):
             all_raw.update(raw)
     query_embs = np.concatenate(all_embs, axis=0)
 
-    searcher = BlockedSearcher(
-        SearchConfig(
-            top_n=args.top_n,
-            storage_dtype=args.storage_dtype,
-            matmul_precision=args.matmul_precision,
-            max_device_block_bytes=args.max_device_block_bytes,
-            rescore_factor=args.rescore_factor,
-        ),
-        mesh=mesh,
-    )
-    with PhaseTimer("search"), profile_trace(args.profile_dir):
-        scores, offsets = searcher.search_blocks(
-            args.ann_data_dir, query_embs, args.top_n
+    if args.ivf_dir:
+        from convdr_tpu.retrieval.ivf import IVFIndex
+
+        index = IVFIndex.load(args.ivf_dir)
+        logger.info(
+            "IVF search: nlist=%d cap=%d ntotal=%d nprobe=%d",
+            index.nlist, index.cap, index.ntotal, args.nprobe,
         )
+        with PhaseTimer("search"), profile_trace(args.profile_dir):
+            # rowids were packed from emb2offset, so these ARE offsets
+            scores, offsets = index.search(
+                query_embs, args.top_n, nprobe=args.nprobe
+            )
+    else:
+        searcher = BlockedSearcher(
+            SearchConfig(
+                top_n=args.top_n,
+                storage_dtype=args.storage_dtype,
+                matmul_precision=args.matmul_precision,
+                max_device_block_bytes=args.max_device_block_bytes,
+                rescore_factor=args.rescore_factor,
+            ),
+            mesh=mesh,
+        )
+        with PhaseTimer("search"), profile_trace(args.profile_dir):
+            scores, offsets = searcher.search_blocks(
+                args.ann_data_dir, query_embs, args.top_n
+            )
 
     queries = load_queries_tsv(
         os.path.join(args.raw_data_dir, f"queries.{args.output_query_type}.tsv")

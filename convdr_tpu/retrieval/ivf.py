@@ -54,6 +54,19 @@ logger = logging.getLogger(__name__)
 _META_FILENAME = "ivf_meta.json"
 
 
+def _pack_rows(emb: np.ndarray, storage_dtype: str) -> np.ndarray:
+    """Rows in the index's host representation (int8 handled by caller)."""
+    import ml_dtypes
+
+    if storage_dtype == "float32":
+        return np.asarray(emb, np.float32)
+    if storage_dtype == "bfloat16":
+        return np.ascontiguousarray(
+            np.asarray(emb).astype(ml_dtypes.bfloat16, copy=False)
+        ).view(np.uint16)
+    raise ValueError(f"unknown storage_dtype {storage_dtype!r}")
+
+
 def _bounded_assign(
     top: np.ndarray, nlist: int, cap: int
 ) -> Tuple[np.ndarray, np.ndarray, dict]:
@@ -196,10 +209,16 @@ class IVFIndex:
         if lists.dtype == np.int8 and quantizer is None:
             raise ValueError("int8 lists need their fitted Int8Quantizer")
         if storage_dtype is None:
-            # bfloat16 lists live as f32 on the host (cast at device
-            # upload), so dtype inference cannot distinguish that mode —
-            # pass storage_dtype explicitly for bf16.
-            storage_dtype = "int8" if lists.dtype == np.int8 else "float32"
+            # bfloat16 lists live as uint16 bit patterns on the host/disk
+            # (numpy can't serialize ml_dtypes natively); viewed as bf16
+            # at device upload.
+            storage_dtype = {
+                np.dtype(np.int8): "int8",
+                np.dtype(np.uint16): "bfloat16",
+                np.dtype(np.float32): "float32",
+            }.get(lists.dtype)
+            if storage_dtype is None:
+                raise ValueError(f"cannot infer storage from {lists.dtype}")
         if storage_dtype not in ("float32", "bfloat16", "int8"):
             raise ValueError(f"unknown storage_dtype {storage_dtype!r}")
         self.storage_dtype = storage_dtype
@@ -281,12 +300,8 @@ class IVFIndex:
             packed_src = quantize_passages(
                 np.asarray(emb, np.float32), quantizer.scales
             )
-        elif storage_dtype in ("float32", "bfloat16"):
-            # bf16 lists stay numpy-f32 on host if ml_dtypes is the slow
-            # path; cast happens at device upload (utils/transfer.py).
-            packed_src = np.asarray(emb, np.float32)
         else:
-            raise ValueError(f"unknown storage_dtype {storage_dtype!r}")
+            packed_src = _pack_rows(emb, storage_dtype)
 
         flat = np.zeros((nlist * cap, d), packed_src.dtype)
         flat_ids = np.full(nlist * cap, -1, np.int32)
@@ -303,15 +318,146 @@ class IVFIndex:
             stats=stats,
         )
 
+    @classmethod
+    def build_from_blocks(
+        cls,
+        ann_data_dir: str,
+        nlist: int,
+        *,
+        storage_dtype: str = "float32",
+        slack: float = 1.25,
+        spill_choices: int = 4,
+        iters: int = 20,
+        seed: int = 42,
+        train_sample: Optional[int] = None,
+        max_blocks: Optional[int] = None,
+    ) -> "IVFIndex":
+        """Build from on-disk embedding blocks (gen_passage_embeddings
+        output), RAM-bounded: two streaming passes over the block files
+        hold at most one float block + the packed index in memory.
+
+        Pass 1 fits centroids on block 0 (an unbiased ``i % num_blocks``
+        round-robin shard — the same sample convention the searcher's SQ8
+        fit uses) and assigns every row its ``spill_choices`` nearest
+        lists; pass 2 re-reads the blocks and packs rows into the
+        fixed-capacity list tensor. Row payloads are each block's
+        emb2offset values, so search returns token-cache offsets exactly
+        like ``BlockedSearcher.search_blocks``. int8 block files reuse
+        their ``int8_scales.npy`` sidecar (rows are packed bit-identical,
+        never re-quantized).
+        """
+        from convdr_tpu.retrieval.blocks import iter_embedding_blocks
+
+        if storage_dtype not in ("float32", "bfloat16", "int8"):
+            raise ValueError(f"unknown storage_dtype {storage_dtype!r}")
+        centroids = None
+        quantizer = None
+        tops: list = []
+        offsets: list = []
+        sizes: list = []
+        t_choices = min(spill_choices, nlist)
+        for block_id, emb, emb2offset in iter_embedding_blocks(
+            ann_data_dir, max_blocks=max_blocks
+        ):
+            if emb.shape[0] == 0:
+                sizes.append(0)
+                continue
+            if emb.dtype == np.int8:
+                if storage_dtype != "int8":
+                    raise ValueError(
+                        "int8 block files can only build an int8 index "
+                        "(the original float rows are gone)"
+                    )
+                if quantizer is None:
+                    quantizer = Int8Quantizer.load(ann_data_dir)
+                femb = emb.astype(np.float32) * quantizer.scales[None, :]
+            else:
+                femb = np.asarray(emb, np.float32)
+            if centroids is None:
+                centroids = fit_kmeans(
+                    femb, nlist, iters=iters, seed=seed,
+                    sample_max=train_sample,
+                )
+                if storage_dtype == "int8" and quantizer is None:
+                    quantizer = Int8Quantizer.fit(femb)
+            tops.append(assign_top_t(femb, centroids, t=t_choices))
+            off = np.asarray(emb2offset, np.int64)
+            if off.size and off.max() >= 2**31:
+                raise ValueError("emb2offset exceeds int32 payload range")
+            offsets.append(off.astype(np.int32))
+            sizes.append(emb.shape[0])
+            logger.info(
+                "ivf pass1 block %d: %d rows assigned", block_id, emb.shape[0]
+            )
+        if centroids is None:
+            raise FileNotFoundError(
+                f"No embedding blocks found in {ann_data_dir}"
+            )
+        top = np.concatenate(tops)
+        del tops
+        n = top.shape[0]
+        cap = int(np.ceil(slack * n / nlist))
+        cap = max(8, -(-cap // 8) * 8)
+        listid, slot, stats = _bounded_assign(top, nlist, cap)
+        del top
+        logger.info("ivf build: %s (cap=%d)", stats, cap)
+
+        host_dtype = {
+            "float32": np.float32, "bfloat16": np.uint16, "int8": np.int8
+        }[storage_dtype]
+        d = centroids.shape[1]
+        flat = np.zeros((nlist * cap, d), host_dtype)
+        flat_ids = np.full(nlist * cap, -1, np.int32)
+        rowids = np.concatenate(offsets) if offsets else np.zeros(0, np.int32)
+        gstart = 0
+        bi = 0
+        for block_id, emb, _e2o in iter_embedding_blocks(
+            ann_data_dir, max_blocks=max_blocks
+        ):
+            nb = sizes[bi] if bi < len(sizes) else emb.shape[0]
+            bi += 1
+            if emb.shape[0] == 0:
+                continue
+            if emb.dtype == np.int8:
+                packed = emb
+            elif storage_dtype == "int8":
+                packed = quantize_passages(
+                    np.asarray(emb, np.float32), quantizer.scales
+                )
+            else:
+                packed = _pack_rows(emb, storage_dtype)
+            pos = (
+                listid[gstart : gstart + nb].astype(np.int64) * cap
+                + slot[gstart : gstart + nb]
+            )
+            flat[pos] = packed
+            flat_ids[pos] = rowids[gstart : gstart + nb]
+            gstart += nb
+            logger.info(
+                "ivf pass2 block %d: %d rows packed", block_id, nb
+            )
+        return cls(
+            centroids,
+            flat.reshape(nlist, cap, d),
+            flat_ids.reshape(nlist, cap),
+            storage_dtype=storage_dtype,
+            quantizer=quantizer,
+            stats=stats,
+        )
+
     # -- device binding ---------------------------------------------------
     def _device_arrays(self):
         if self._dev is None:
+            import ml_dtypes
+
             dtype = {
                 "float32": jnp.float32,
                 "bfloat16": jnp.bfloat16,
                 "int8": jnp.int8,
             }[self.storage_dtype]
             flat = self.lists.reshape(self.nlist * self.cap, self.dim)
+            if flat.dtype == np.uint16:  # bf16 bit patterns (zero-copy)
+                flat = flat.view(ml_dtypes.bfloat16)
             lists_dev = device_put_chunked(flat, dtype).reshape(
                 self.nlist, self.cap, self.dim
             )
@@ -344,9 +490,9 @@ class IVFIndex:
             q_score, tq = self.quantizer.quantize_queries(q)
         else:
             q_score, tq = q, None
-        itemsize = np.dtype(
-            "int8" if self.storage_dtype == "int8" else self.storage_dtype
-        ).itemsize
+        itemsize = {"float32": 4, "bfloat16": 2, "int8": 1}[
+            self.storage_dtype
+        ]
         per_query = nprobe * self.cap * self.dim * itemsize
         chunk = max(1, int(max_candidate_bytes // max(per_query, 1)))
         cent, lists_dev, rid_dev = self._device_arrays()

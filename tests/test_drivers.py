@@ -226,6 +226,45 @@ def test_04c_inference_driver_int8(workdir):
     assert refined == pytest.approx(base), (refined, base)
 
 
+def test_04d_inference_driver_ivf(workdir):
+    """IVF surface end-to-end: build_ivf_index packs the embed driver's
+    blocks (payload = token-cache offsets), and --ivf_dir + full-probe
+    --nprobe reproduces the exact search's metrics on the tiny corpus."""
+    from convdr_tpu.drivers import build_ivf_index
+
+    summary = build_ivf_index.main([
+        "--ann_data_dir", str(workdir / "embeddings"),
+        "--index_dir", str(workdir / "ivf"),
+        "--nlist", "4",
+        "--kmeans_iters", "8",
+    ])
+    assert summary["ntotal"] == N_PASSAGES
+    assert summary["nlist"] == 4
+
+    def infer(*extra):
+        return run_convdr_inference.main([
+            "--model_path", str(workdir / "model"),
+            "--eval_file", str(workdir / "raw" / "eval_topics.jsonl"),
+            "--model_type", "rdot_nll",
+            "--ann_data_dir", str(workdir / "embeddings"),
+            "--processed_data_dir", str(workdir / "processed"),
+            "--raw_data_dir", str(workdir / "raw"),
+            "--qrels", str(workdir / "raw" / "qrels.tsv"),
+            "--output_query_type", "raw",
+            "--top_n", "10",
+            "--max_concat_length", "48",
+            "--arch_size", "tiny",
+            "--no_mesh",
+            *extra,
+        ])
+
+    base = infer()
+    ivf_full = infer("--ivf_dir", str(workdir / "ivf"), "--nprobe", "4")
+    assert ivf_full == pytest.approx(base), (ivf_full, base)
+    ivf_1 = infer("--ivf_dir", str(workdir / "ivf"), "--nprobe", "1")
+    assert "ndcg_cut_3" in ivf_1  # reduced probe still runs end to end
+
+
 def test_05_cross_validation_drivers(workdir):
     """5-fold CV surface: fold files, per-fold models, fold inference."""
     raw = workdir / "raw"

@@ -189,6 +189,78 @@ def test_ivf_k_exceeding_candidates_pads():
     assert len(valid) == len(set(valid.tolist()))
 
 
+def test_ivf_bfloat16_storage_roundtrip(tmp_path):
+    rng = np.random.Generator(np.random.PCG64(31))
+    x = rng.standard_normal((800, 16), dtype=np.float32)
+    q = rng.standard_normal((6, 16), dtype=np.float32)
+    idx = IVFIndex.build(x, 8, storage_dtype="bfloat16", iters=5, seed=0)
+    assert idx.lists.dtype == np.uint16  # bf16 bit patterns on host
+    s, i = idx.search(q, 10, nprobe=8)
+    _, o_i = topk_oracle(q, x, 10)
+    # full probe, bf16-rounded rows: sets match the f32 oracle except
+    # bf16-rounding near-ties
+    recall = np.mean([len(set(i[r]) & set(o_i[r])) / 10 for r in range(6)])
+    assert recall >= 0.9, recall
+    d = tmp_path / "bf16"
+    idx.save(str(d))
+    idx2 = IVFIndex.load(str(d))
+    assert idx2.storage_dtype == "bfloat16"
+    s2, i2 = idx2.search(q, 10, nprobe=8)
+    np.testing.assert_array_equal(i, i2)
+    np.testing.assert_array_equal(s, s2)
+
+
+def test_ivf_build_from_blocks_matches_payload(tmp_path):
+    from convdr_tpu.retrieval.blocks import write_embedding_block
+
+    rng = np.random.Generator(np.random.PCG64(37))
+    x = rng.standard_normal((600, 16), dtype=np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    offsets = np.arange(600, dtype=np.int64) * 3 + 11  # fake cache offsets
+    d = str(tmp_path / "blocks")
+    # reference round-robin sharding: block b holds rows i % 2 == b
+    for b in range(2):
+        write_embedding_block(d, b, x[b::2], offsets[b::2])
+    idx = IVFIndex.build_from_blocks(d, 8, iters=6, seed=0)
+    assert idx.ntotal == 600
+    s, i = idx.search(x[:5], 1, nprobe=8)  # unit rows: self is top-1
+    np.testing.assert_array_equal(i[:, 0], offsets[:5].astype(np.int32))
+
+
+def test_ivf_build_from_blocks_int8_blocks(tmp_path):
+    from convdr_tpu.ops.quant import Int8Quantizer
+    from convdr_tpu.retrieval.blocks import write_embedding_block
+
+    rng = np.random.Generator(np.random.PCG64(41))
+    x = rng.standard_normal((400, 16), dtype=np.float32)
+    quant = Int8Quantizer.fit(x)
+    d = str(tmp_path / "blocks_i8")
+    for b in range(2):
+        write_embedding_block(
+            d, b, quant.quantize_passages(x[b::2]),
+            np.arange(400, dtype=np.int64)[b::2],
+        )
+    quant.save(d)
+    # int8 blocks can only build an int8 index
+    with pytest.raises(ValueError):
+        IVFIndex.build_from_blocks(d, 4, storage_dtype="float32")
+    idx = IVFIndex.build_from_blocks(
+        d, 4, storage_dtype="int8", iters=5, seed=0
+    )
+    assert idx.storage_dtype == "int8"
+    assert idx.ntotal == 400
+    # packed rows are bit-identical to the on-disk quantization: a full
+    # probe reproduces the int8 oracle's sets
+    from convdr_tpu.ops.quant import int8_topk_oracle
+
+    q = rng.standard_normal((4, 16), dtype=np.float32)
+    s, i = idx.search(q, 10, nprobe=4)
+    q_int, _tq = quant.quantize_queries(q)
+    o_s, o_i = int8_topk_oracle(q_int, quant.quantize_passages(x), 10)
+    for r in range(4):
+        assert set(i[r]) == set(o_i[r])
+
+
 def test_ivf_rejects_bad_shapes():
     with pytest.raises(ValueError):
         IVFIndex(
