@@ -45,14 +45,11 @@ def get_arguments(argv=None):
         "integer-exact candidate scoring); int8 BLOCK files force int8",
     )
     parser.add_argument(
-        "--slack", type=float, default=1.25,
-        help="list capacity = slack * N / nlist: bounds index memory at "
-        "slack x corpus regardless of cluster skew (overflowing rows "
-        "spill to their next-nearest list)",
+        "--slack", type=float, default=1.0,
+        help="sub-list capacity = slack * N / nlist (a cluster of l rows "
+        "occupies ceil(l/cap) fixed-capacity sub-lists; smaller = finer "
+        "probe granularity, more zero-pad rows)",
     )
-    parser.add_argument("--spill_choices", type=int, default=4,
-                        help="nearest-list candidates per row before a row "
-                        "falls back to any free list")
     parser.add_argument("--kmeans_iters", type=int, default=20)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument(
@@ -76,7 +73,6 @@ def main(argv=None):
         args.nlist,
         storage_dtype=args.storage_dtype,
         slack=args.slack,
-        spill_choices=args.spill_choices,
         iters=args.kmeans_iters,
         seed=args.seed,
         train_sample=args.train_sample or None,

@@ -12,24 +12,28 @@ TPU-first redesign of that family:
     ``cap x D`` slices (hundreds of KB each, HBM-friendly) instead of the
     fine-grained row gathers that measured latency-bound on v5e
     (ops/pallas_search.py close-out);
-  * capacity is bounded (``slack * N / nlist``), which bounds device memory
-    at ``slack`` x corpus regardless of cluster skew. Rows that overflow
-    their nearest list spill to their next-nearest list with space
-    (``spill_choices`` candidates, then any free list) — a bounded-capacity
-    assignment in the spirit of balanced k-means; the builder reports how
-    many rows were displaced;
-  * search is one jitted program: centroid scores (queries rank lists by
-    inner product, the MIPS convention), top-``nprobe`` via the exact
+  * cluster-size skew is absorbed by VIRTUAL SUB-LISTS, not displacement: a
+    cluster of ``l`` rows occupies ``ceil(l / cap)`` fixed-capacity
+    sub-lists, its centroid duplicated once per sub-list, so probe
+    selection ranks sub-lists directly and big clusters naturally draw
+    more of the probe budget (see ``_sublist_layout`` for why the usual
+    bounded-capacity spill assignment fails in high dimensions). Memory is
+    bounded at corpus + one partial sub-list of padding per cluster;
+  * search is one jitted program: sub-centroid scores (queries rank lists
+    by inner product, the MIPS convention), top-``nprobe`` via the exact
     grouped top-k, slab gather, batched scoring matmul with f32
     accumulation, and a final exact top-k over the ``nprobe * cap``
     candidates. int8 storage reuses the SQ8 integer-exact contract
     (ops/quant.py): candidate scoring needs no HIGHEST passes.
 
-Approximation contract: a query misses a row iff the row's list is outside
-the query's top-``nprobe`` probed lists (plus the rare displaced rows). With
-``nprobe == nlist`` every row is scored and the result set equals the exact
-flat search (ties may order differently: candidates are ranked in
-probe-major order, not global index order — an ANN, not FlatIP, contract).
+Approximation contract: every row lives in its nearest cluster's sub-lists;
+a query misses a row iff that row's sub-list ranks outside the query's
+top-``nprobe`` (``nprobe`` counts SUB-lists; a cluster's sub-lists score
+identically and are taken adjacently, so the budget spreads across clusters
+proportionally to their mass). With ``nprobe == index.nlist`` every row is
+scored and the result set equals the exact flat search (ties may order
+differently: candidates are ranked in probe-major order, not global index
+order — an ANN, not FlatIP, contract).
 """
 
 from __future__ import annotations
@@ -67,67 +71,55 @@ def _pack_rows(emb: np.ndarray, storage_dtype: str) -> np.ndarray:
     raise ValueError(f"unknown storage_dtype {storage_dtype!r}")
 
 
-def _bounded_assign(
-    top: np.ndarray, nlist: int, cap: int
-) -> Tuple[np.ndarray, np.ndarray, dict]:
-    """Assign each row to one list with at most ``cap`` rows per list.
+def _sublist_layout(
+    assign: np.ndarray, nlist: int, cap: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, dict]:
+    """Chop each natural cluster into fixed-capacity SUB-LISTS.
 
-    ``top`` [N, T]: each row's T nearest lists, nearest first. Greedy
-    rounds: in round t, still-unplaced rows try their t-th choice;
-    within a round, lower row index wins the remaining slots (stable,
-    deterministic). Rows exhausting all T choices take any free slot.
-    Returns (listid [N] int32, slot [N] int32, stats).
+    ``assign`` [N]: each row's nearest-centroid id. A cluster of ``l``
+    rows occupies ``ceil(l / cap)`` consecutive sub-lists (the last one
+    zero-padded), and the cluster's centroid is DUPLICATED once per
+    sub-list, so probe selection ranks sub-lists directly: a big cluster
+    presents more (equal-scoring, adjacent) probe targets and naturally
+    receives more of the probe budget. Every row stays in its nearest
+    cluster — no bounded-capacity displacement. (A capacity-bounded
+    greedy with spill-to-next-nearest was tried first and measured: in
+    high dimensions the shrunken multi-cluster centroids rank ahead of
+    everything for every row, so saturated lists dominate all spill
+    choices and displaced rows land in effectively random lists,
+    capping recall. Sub-lists remove that failure mode outright.)
+
+    Returns (sub_id [N] int32, slot [N] int32, owner [L] int32 natural
+    -cluster id per sub-list, stats). Memory bound: L * cap <= N +
+    nlist * cap rows (each cluster wastes < cap pad rows).
     """
-    n, t_choices = top.shape
-    counts = np.zeros(nlist, np.int64)
-    listid = np.full(n, -1, np.int32)
-    slot = np.full(n, -1, np.int32)
-    unplaced = np.arange(n)
-    placed_at_choice = np.zeros(t_choices, np.int64)
-    for t in range(t_choices):
-        if unplaced.size == 0:
-            break
-        cand = top[unplaced, t].astype(np.int64)
-        order = np.argsort(cand, kind="stable")  # lower row index first
-        cand_s = cand[order]
-        rows_s = unplaced[order]
-        # rank of each row within its list group this round
-        is_new = np.empty(cand_s.size, bool)
-        is_new[0] = True
-        np.not_equal(cand_s[1:], cand_s[:-1], out=is_new[1:])
-        idx = np.arange(cand_s.size)
-        start = np.maximum.accumulate(np.where(is_new, idx, 0))
-        rank = idx - start
-        accept = rank < (cap - counts[cand_s])
-        rows_a = rows_s[accept]
-        cand_a = cand_s[accept]
-        listid[rows_a] = cand_a.astype(np.int32)
-        slot[rows_a] = (counts[cand_a] + rank[accept]).astype(np.int32)
-        counts += np.bincount(cand_a, minlength=nlist)
-        placed_at_choice[t] = rows_a.size
-        unplaced = rows_s[~accept]
-    overflow = unplaced.size
-    if overflow:
-        # any list with space, in list order (total space >= slack*N > N)
-        space = cap - counts
-        free_list = np.repeat(np.arange(nlist), space)
-        cum = np.concatenate([[0], np.cumsum(space)[:-1]])
-        free_slot = (
-            np.arange(free_list.size)
-            - np.repeat(cum, space)
-            + np.repeat(counts, space)
-        )
-        take = unplaced  # arbitrary but deterministic order
-        listid[take] = free_list[: take.size].astype(np.int32)
-        slot[take] = free_slot[: take.size].astype(np.int32)
+    n = assign.shape[0]
+    assign = np.asarray(assign, np.int64)
+    sizes = np.bincount(assign, minlength=nlist).astype(np.int64)
+    n_sub = -(-sizes // cap)  # ceil; empty clusters get no sub-list
+    sub_start = np.concatenate([[0], np.cumsum(n_sub)[:-1]])
+    total = int(n_sub.sum())
+    order = np.argsort(assign, kind="stable")  # cluster-major, row order kept
+    cluster_sorted = assign[order]
+    cum_rows = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    pos_in_cluster = np.arange(n, dtype=np.int64) - cum_rows[cluster_sorted]
+    sub_id = np.empty(n, np.int32)
+    slot = np.empty(n, np.int32)
+    sub_id[order] = (
+        sub_start[cluster_sorted] + pos_in_cluster // cap
+    ).astype(np.int32)
+    slot[order] = (pos_in_cluster % cap).astype(np.int32)
+    owner = np.repeat(np.arange(nlist, dtype=np.int32), n_sub)
     stats = {
-        "placed_first_choice": int(placed_at_choice[0]),
-        "spilled": int(n - placed_at_choice[0]),
-        "displaced_past_choices": int(overflow),
-        "max_list": int(counts.max()) if nlist else 0,
-        "mean_list": float(n / nlist),
+        "n_clusters": int(nlist),
+        "n_sublists": total,
+        "cap": int(cap),
+        "pad_rows": int(total * cap - n),
+        "pad_frac": float((total * cap - n) / max(total * cap, 1)),
+        "max_cluster": int(sizes.max()) if nlist else 0,
+        "empty_clusters": int((sizes == 0).sum()),
     }
-    return listid, slot, stats
+    return sub_id, slot, owner, stats
 
 
 @functools.partial(jax.jit, static_argnames=("k", "nprobe"))
@@ -255,8 +247,7 @@ class IVFIndex:
         *,
         rowids: Optional[np.ndarray] = None,
         storage_dtype: str = "float32",
-        slack: float = 1.25,
-        spill_choices: int = 4,
+        slack: float = 1.0,
         iters: int = 20,
         seed: int = 42,
         train_sample: Optional[int] = None,
@@ -265,10 +256,12 @@ class IVFIndex:
         """Cluster + pack ``embeddings`` [N, D] into an IVF index.
 
         ``rowids``: payload id per row (defaults to 0..N-1); what search
-        returns. ``train_sample``: k-means training subsample cap (FAISS
-        trains on ~256 points/centroid; None = train on everything).
-        ``centroids``: skip training and use these (e.g. fitted on one
-        block of a larger corpus).
+        returns. ``slack``: sub-list capacity as a multiple of the mean
+        cluster size (smaller = finer probe granularity, more pad rows).
+        ``train_sample``: k-means training subsample cap (FAISS trains on
+        ~256 points/centroid; None = train on everything). ``centroids``:
+        skip training and use these (e.g. fitted on one block of a larger
+        corpus).
         """
         emb = np.asarray(embeddings)
         n, d = emb.shape
@@ -290,9 +283,9 @@ class IVFIndex:
             raise ValueError(f"centroids [{nlist}, {d}] expected")
         cap = int(np.ceil(slack * n / nlist))
         cap = max(8, -(-cap // 8) * 8)  # multiple of 8 (sublane-friendly)
-        top = assign_top_t(emb, centroids, t=min(spill_choices, nlist))
-        listid, slot, stats = _bounded_assign(top, nlist, cap)
-        logger.info("ivf build: %s (cap=%d)", stats, cap)
+        assign = assign_top_t(emb, centroids, t=1)[:, 0]
+        sub_id, slot, owner, stats = _sublist_layout(assign, nlist, cap)
+        logger.info("ivf build: %s", stats)
 
         quantizer = None
         if storage_dtype == "int8":
@@ -303,16 +296,16 @@ class IVFIndex:
         else:
             packed_src = _pack_rows(emb, storage_dtype)
 
-        flat = np.zeros((nlist * cap, d), packed_src.dtype)
-        flat_ids = np.full(nlist * cap, -1, np.int32)
-        pos = listid.astype(np.int64) * cap + slot
+        n_sub = stats["n_sublists"]
+        flat = np.zeros((n_sub * cap, d), packed_src.dtype)
+        flat_ids = np.full(n_sub * cap, -1, np.int32)
+        pos = sub_id.astype(np.int64) * cap + slot
         flat[pos] = packed_src
         flat_ids[pos] = rowids
-        lists = flat.reshape(nlist, cap, d)
         return cls(
-            centroids,
-            lists,
-            flat_ids.reshape(nlist, cap),
+            centroids[owner],  # one (duplicated) centroid per sub-list
+            flat.reshape(n_sub, cap, d),
+            flat_ids.reshape(n_sub, cap),
             storage_dtype=storage_dtype,
             quantizer=quantizer,
             stats=stats,
@@ -325,8 +318,7 @@ class IVFIndex:
         nlist: int,
         *,
         storage_dtype: str = "float32",
-        slack: float = 1.25,
-        spill_choices: int = 4,
+        slack: float = 1.0,
         iters: int = 20,
         seed: int = 42,
         train_sample: Optional[int] = None,
@@ -338,13 +330,12 @@ class IVFIndex:
 
         Pass 1 fits centroids on block 0 (an unbiased ``i % num_blocks``
         round-robin shard — the same sample convention the searcher's SQ8
-        fit uses) and assigns every row its ``spill_choices`` nearest
-        lists; pass 2 re-reads the blocks and packs rows into the
-        fixed-capacity list tensor. Row payloads are each block's
-        emb2offset values, so search returns token-cache offsets exactly
-        like ``BlockedSearcher.search_blocks``. int8 block files reuse
-        their ``int8_scales.npy`` sidecar (rows are packed bit-identical,
-        never re-quantized).
+        fit uses) and assigns every row its nearest cluster; pass 2
+        re-reads the blocks and packs rows into the sub-list tensor. Row
+        payloads are each block's emb2offset values, so search returns
+        token-cache offsets exactly like ``BlockedSearcher.search_blocks``.
+        int8 block files reuse their ``int8_scales.npy`` sidecar (rows are
+        packed bit-identical, never re-quantized).
         """
         from convdr_tpu.retrieval.blocks import iter_embedding_blocks
 
@@ -352,10 +343,9 @@ class IVFIndex:
             raise ValueError(f"unknown storage_dtype {storage_dtype!r}")
         centroids = None
         quantizer = None
-        tops: list = []
+        assigns: list = []
         offsets: list = []
         sizes: list = []
-        t_choices = min(spill_choices, nlist)
         for block_id, emb, emb2offset in iter_embedding_blocks(
             ann_data_dir, max_blocks=max_blocks
         ):
@@ -380,7 +370,7 @@ class IVFIndex:
                 )
                 if storage_dtype == "int8" and quantizer is None:
                     quantizer = Int8Quantizer.fit(femb)
-            tops.append(assign_top_t(femb, centroids, t=t_choices))
+            assigns.append(assign_top_t(femb, centroids, t=1)[:, 0])
             off = np.asarray(emb2offset, np.int64)
             if off.size and off.max() >= 2**31:
                 raise ValueError("emb2offset exceeds int32 payload range")
@@ -393,21 +383,22 @@ class IVFIndex:
             raise FileNotFoundError(
                 f"No embedding blocks found in {ann_data_dir}"
             )
-        top = np.concatenate(tops)
-        del tops
-        n = top.shape[0]
+        assign = np.concatenate(assigns)
+        del assigns
+        n = assign.shape[0]
         cap = int(np.ceil(slack * n / nlist))
         cap = max(8, -(-cap // 8) * 8)
-        listid, slot, stats = _bounded_assign(top, nlist, cap)
-        del top
-        logger.info("ivf build: %s (cap=%d)", stats, cap)
+        sub_id, slot, owner, stats = _sublist_layout(assign, nlist, cap)
+        del assign
+        logger.info("ivf build: %s", stats)
 
         host_dtype = {
             "float32": np.float32, "bfloat16": np.uint16, "int8": np.int8
         }[storage_dtype]
         d = centroids.shape[1]
-        flat = np.zeros((nlist * cap, d), host_dtype)
-        flat_ids = np.full(nlist * cap, -1, np.int32)
+        n_sub = stats["n_sublists"]
+        flat = np.zeros((n_sub * cap, d), host_dtype)
+        flat_ids = np.full(n_sub * cap, -1, np.int32)
         rowids = np.concatenate(offsets) if offsets else np.zeros(0, np.int32)
         gstart = 0
         bi = 0
@@ -427,7 +418,7 @@ class IVFIndex:
             else:
                 packed = _pack_rows(emb, storage_dtype)
             pos = (
-                listid[gstart : gstart + nb].astype(np.int64) * cap
+                sub_id[gstart : gstart + nb].astype(np.int64) * cap
                 + slot[gstart : gstart + nb]
             )
             flat[pos] = packed
@@ -437,9 +428,9 @@ class IVFIndex:
                 "ivf pass2 block %d: %d rows packed", block_id, nb
             )
         return cls(
-            centroids,
-            flat.reshape(nlist, cap, d),
-            flat_ids.reshape(nlist, cap),
+            centroids[owner],
+            flat.reshape(n_sub, cap, d),
+            flat_ids.reshape(n_sub, cap),
             storage_dtype=storage_dtype,
             quantizer=quantizer,
             stats=stats,

@@ -239,7 +239,9 @@ def test_04d_inference_driver_ivf(workdir):
         "--kmeans_iters", "8",
     ])
     assert summary["ntotal"] == N_PASSAGES
-    assert summary["nlist"] == 4
+    # nlist counts probeable SUB-lists (>= the 4 natural clusters)
+    assert summary["assign_n_clusters"] == 4
+    assert summary["nlist"] >= 4
 
     def infer(*extra):
         return run_convdr_inference.main([
@@ -259,7 +261,7 @@ def test_04d_inference_driver_ivf(workdir):
         ])
 
     base = infer()
-    ivf_full = infer("--ivf_dir", str(workdir / "ivf"), "--nprobe", "4")
+    ivf_full = infer("--ivf_dir", str(workdir / "ivf"), "--nprobe", "999")
     assert ivf_full == pytest.approx(base), (ivf_full, base)
     ivf_1 = infer("--ivf_dir", str(workdir / "ivf"), "--nprobe", "1")
     assert "ndcg_cut_3" in ivf_1  # reduced probe still runs end to end

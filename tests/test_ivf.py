@@ -12,7 +12,7 @@ import pytest
 from convdr_tpu.ops.exact_search import topk_oracle
 from convdr_tpu.ops.kmeans import _split_empty, assign_top_t, fit_kmeans
 from convdr_tpu.ops.quant import int8_topk_oracle
-from convdr_tpu.retrieval.ivf import IVFIndex, _bounded_assign
+from convdr_tpu.retrieval.ivf import IVFIndex, _sublist_layout
 
 
 def _clustered(n, d, n_clusters, seed=0, spread=0.05):
@@ -68,22 +68,30 @@ def test_assign_top_t_matches_numpy():
     assert got.shape == (300, 3)
 
 
-def test_bounded_assign_respects_capacity_and_places_all():
+def test_sublist_layout_invariants():
     rng = np.random.Generator(np.random.PCG64(3))
-    n, k, t = 500, 8, 3
-    top = np.stack(
-        [rng.permutation(k)[:t] for _ in range(n)]
-    ).astype(np.int32)
-    cap = int(np.ceil(1.1 * n / k))
-    listid, slot, stats = _bounded_assign(top, k, cap)
-    assert np.all(listid >= 0) and np.all(slot >= 0)
-    counts = np.bincount(listid, minlength=k)
-    assert counts.max() <= cap
-    assert counts.sum() == n
-    # (list, slot) pairs are unique — no overwrites in the packed tensor
-    pos = listid.astype(np.int64) * cap + slot
+    n, k, cap = 500, 8, 24
+    # heavy skew: cluster j gets ~j^2 mass
+    weights = (np.arange(k, dtype=np.float64) + 1) ** 2
+    assign = rng.choice(k, size=n, p=weights / weights.sum()).astype(np.int32)
+    sub_id, slot, owner, stats = _sublist_layout(assign, k, cap)
+    sizes = np.bincount(assign, minlength=k)
+    assert stats["n_sublists"] == int(np.sum(-(-sizes // cap)))
+    assert owner.shape == (stats["n_sublists"],)
+    assert np.all(slot >= 0) and np.all(slot < cap)
+    # every row's sub-list is owned by its OWN nearest cluster
+    np.testing.assert_array_equal(owner[sub_id], assign)
+    # (sub, slot) pairs unique — no overwrites in the packed tensor
+    pos = sub_id.astype(np.int64) * cap + slot
     assert len(np.unique(pos)) == n
-    assert stats["placed_first_choice"] + stats["spilled"] == n
+    # sub-list occupancy: all full except each cluster's last one
+    occupancy = np.bincount(sub_id, minlength=stats["n_sublists"])
+    for j in range(k):
+        subs = np.flatnonzero(owner == j)
+        if len(subs):
+            assert np.all(occupancy[subs[:-1]] == cap)
+            assert occupancy[subs[-1]] == sizes[j] - (len(subs) - 1) * cap
+    assert stats["pad_rows"] == stats["n_sublists"] * cap - n
 
 
 def test_ivf_full_probe_matches_flat_oracle():
@@ -91,7 +99,7 @@ def test_ivf_full_probe_matches_flat_oracle():
     x = rng.standard_normal((2000, 24), dtype=np.float32)
     q = rng.standard_normal((16, 24), dtype=np.float32)
     idx = IVFIndex.build(x, 16, iters=8, seed=0)
-    s, i = idx.search(q, 10, nprobe=16)  # nprobe == nlist: every row scored
+    s, i = idx.search(q, 10, nprobe=idx.nlist)  # full probe: every row scored
     o_s, o_i = topk_oracle(q, x, 10)
     for row in range(q.shape[0]):
         assert set(i[row]) == set(o_i[row])
@@ -125,7 +133,7 @@ def test_ivf_int8_full_probe_matches_int8_oracle():
     x = rng.standard_normal((1500, 16), dtype=np.float32)
     q = rng.standard_normal((8, 16), dtype=np.float32)
     idx = IVFIndex.build(x, 12, storage_dtype="int8", iters=8, seed=0)
-    s, i = idx.search(q, 10, nprobe=12)
+    s, i = idx.search(q, 10, nprobe=idx.nlist)
     q_int, tq = idx.quantizer.quantize_queries(q)
     p_i8 = idx.quantizer.quantize_passages(x)
     o_s, o_i = int8_topk_oracle(q_int, p_i8, 10)
@@ -143,7 +151,7 @@ def test_ivf_custom_rowids_returned():
     x /= np.linalg.norm(x, axis=1, keepdims=True)
     payload = (np.arange(400, dtype=np.int32) * 7 + 3)
     idx = IVFIndex.build(x, 4, rowids=payload, iters=5, seed=0)
-    _, i = idx.search(x[:5], 1, nprobe=4)
+    _, i = idx.search(x[:5], 1, nprobe=idx.nlist)
     np.testing.assert_array_equal(i[:, 0], payload[:5])
 
 
@@ -167,13 +175,13 @@ def test_ivf_save_load_roundtrip(tmp_path):
     q = rng.standard_normal((4, 16), dtype=np.float32)
     for dtype in ("float32", "int8"):
         idx = IVFIndex.build(x, 8, storage_dtype=dtype, iters=5, seed=0)
-        s1, i1 = idx.search(q, 7, nprobe=8)
+        s1, i1 = idx.search(q, 7, nprobe=idx.nlist)
         d = tmp_path / dtype
         idx.save(str(d))
         idx2 = IVFIndex.load(str(d))
         assert idx2.storage_dtype == dtype
         assert idx2.ntotal == 600
-        s2, i2 = idx2.search(q, 7, nprobe=8)
+        s2, i2 = idx2.search(q, 7, nprobe=idx2.nlist)
         np.testing.assert_array_equal(i1, i2)
         np.testing.assert_array_equal(s1, s2)
 
@@ -195,7 +203,7 @@ def test_ivf_bfloat16_storage_roundtrip(tmp_path):
     q = rng.standard_normal((6, 16), dtype=np.float32)
     idx = IVFIndex.build(x, 8, storage_dtype="bfloat16", iters=5, seed=0)
     assert idx.lists.dtype == np.uint16  # bf16 bit patterns on host
-    s, i = idx.search(q, 10, nprobe=8)
+    s, i = idx.search(q, 10, nprobe=idx.nlist)
     _, o_i = topk_oracle(q, x, 10)
     # full probe, bf16-rounded rows: sets match the f32 oracle except
     # bf16-rounding near-ties
@@ -205,7 +213,7 @@ def test_ivf_bfloat16_storage_roundtrip(tmp_path):
     idx.save(str(d))
     idx2 = IVFIndex.load(str(d))
     assert idx2.storage_dtype == "bfloat16"
-    s2, i2 = idx2.search(q, 10, nprobe=8)
+    s2, i2 = idx2.search(q, 10, nprobe=idx2.nlist)
     np.testing.assert_array_equal(i, i2)
     np.testing.assert_array_equal(s, s2)
 
@@ -223,7 +231,7 @@ def test_ivf_build_from_blocks_matches_payload(tmp_path):
         write_embedding_block(d, b, x[b::2], offsets[b::2])
     idx = IVFIndex.build_from_blocks(d, 8, iters=6, seed=0)
     assert idx.ntotal == 600
-    s, i = idx.search(x[:5], 1, nprobe=8)  # unit rows: self is top-1
+    s, i = idx.search(x[:5], 1, nprobe=idx.nlist)  # unit rows: self is top-1
     np.testing.assert_array_equal(i[:, 0], offsets[:5].astype(np.int32))
 
 
@@ -254,7 +262,7 @@ def test_ivf_build_from_blocks_int8_blocks(tmp_path):
     from convdr_tpu.ops.quant import int8_topk_oracle
 
     q = rng.standard_normal((4, 16), dtype=np.float32)
-    s, i = idx.search(q, 10, nprobe=4)
+    s, i = idx.search(q, 10, nprobe=idx.nlist)
     q_int, _tq = quant.quantize_queries(q)
     o_s, o_i = int8_topk_oracle(q_int, quant.quantize_passages(x), 10)
     for r in range(4):
