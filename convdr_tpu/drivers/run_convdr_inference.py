@@ -238,7 +238,7 @@ def main(argv=None):
         with PhaseTimer("search"), profile_trace(args.profile_dir):
             # rowids were packed from emb2offset, so these ARE offsets
             scores, offsets = index.search(
-                query_embs, args.top_n, nprobe=args.nprobe
+                query_embs, args.top_n, nprobe=args.nprobe, mesh=mesh
             )
     else:
         searcher = BlockedSearcher(

@@ -40,6 +40,14 @@ logger = logging.getLogger(__name__)
 _KMEANS_BLOCK_ROWS = 65536
 
 
+def _block_rows_for(n: int, k: int, requested: int) -> int:
+    """Cap the scan block so scores f32 + one-hot bf16 stay under ~1.5 GB
+    (6 bytes per [B, K] cell) — K=16384 would otherwise need 6 GB of
+    per-block buffers at the default 65536 rows."""
+    cap = max(4096, int((1.5 * (1 << 30)) // (6 * max(k, 1))))
+    return max(1, min(requested, cap, n))
+
+
 @functools.partial(jax.jit, static_argnames=("block_rows",))
 def _lloyd_iter(
     x: jnp.ndarray, c: jnp.ndarray, block_rows: int
@@ -140,7 +148,7 @@ def fit_kmeans(
         n = sample_max
     c = x[rng.choice(n, size=nlist, replace=False)].copy()
 
-    block_rows = min(block_rows, n)
+    block_rows = _block_rows_for(n, nlist, block_rows)
     x_dev = jax.device_put(x)
     prev_obj = np.inf
     for it in range(iters):
@@ -215,6 +223,6 @@ def assign_top_t(
         jnp.asarray(x),
         jnp.asarray(centroids, jnp.float32),
         t,
-        min(block_rows, x.shape[0]),
+        _block_rows_for(x.shape[0], centroids.shape[0], block_rows),
     )
     return np.asarray(out, np.int32)

@@ -90,3 +90,105 @@ def sharded_flat_ip_topk(
         check_vma=False,
     )
     return fn(queries, passage_shards)
+
+
+def sharded_ivf_topk(
+    mesh: Mesh,
+    q_probe: jnp.ndarray,
+    q_score: jnp.ndarray,
+    centroids: jnp.ndarray,
+    lists: jnp.ndarray,
+    rowids: jnp.ndarray,
+    k: int,
+    nprobe: int,
+    *,
+    axis: str = "index",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """IVF search over sub-lists row-sharded on the ``axis`` mesh dim.
+
+    Multi-chip analogue of FAISS's per-GPU IVF shards (each GPU probes its
+    own inverted lists, results merged): every device holds a slice of the
+    sub-list tensor + matching (duplicated) sub-centroids, probes the
+    ``ceil(nprobe / n_shards)`` best LOCAL sub-lists, scores its gathered
+    candidates, and the per-shard top-k lists merge with an ``all_gather``
+    over ICI + stable top-k — the same merge collective as
+    :func:`sharded_flat_ip_topk`.
+
+    centroids [L_pad, D] / lists [L_pad, cap, D] / rowids [L_pad, cap]
+    must be sharded (or shardable) over dim 0 with ``L_pad`` divisible by
+    the axis size; pad sub-lists carry rowid -1 everywhere (their
+    candidates mask to NEG_INF; a wasted probe slot at worst). Probe
+    allocation is forced-balanced across shards, so the probed set can
+    differ from the single-device index's global top-``nprobe`` — recall
+    is comparable, not bit-identical (ANN contract; with nprobe >= L every
+    row is still scored on some shard, recovering the exact result set).
+    """
+    from convdr_tpu.ops.exact_search import grouped_topk_last_axis
+
+    l_pad, cap, d = lists.shape
+    n_shards = mesh.shape[axis]
+    if l_pad % n_shards:
+        raise ValueError(
+            f"padded sub-list count {l_pad} not divisible by {n_shards}"
+        )
+    l_local = l_pad // n_shards
+    nprobe_local = max(1, min(-(-nprobe // n_shards), l_local))
+
+    def local_search(qp, qs, cent, ls, rid):
+        cs = jnp.dot(
+            qp,
+            cent.T,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [Q, L_local]
+        _, probes = grouped_topk_last_axis(cs, nprobe_local)
+        qn = qp.shape[0]
+        flat_probes = probes.reshape(-1)
+        cand = jnp.take(ls, flat_probes, axis=0).reshape(
+            qn, nprobe_local * cap, d
+        )
+        rid_g = jnp.take(rid, flat_probes, axis=0).reshape(
+            qn, nprobe_local * cap
+        )
+        if ls.dtype == jnp.int8:
+            scores = jnp.einsum(
+                "qnd,qd->qn",
+                cand.astype(jnp.bfloat16),
+                qs.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            scores = jnp.einsum(
+                "qnd,qd->qn",
+                cand,
+                qs,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        scores = jnp.where(rid_g >= 0, scores, NEG_INF)
+        kk = min(k, nprobe_local * cap)
+        top_s, sel = grouped_topk_last_axis(scores, kk)
+        top_i = jnp.take_along_axis(rid_g, sel, axis=1)
+        if kk < k:
+            top_s = jnp.pad(
+                top_s, ((0, 0), (0, k - kk)), constant_values=NEG_INF
+            )
+            top_i = jnp.pad(top_i, ((0, 0), (0, k - kk)), constant_values=-1)
+        top_i = jnp.where(top_s == NEG_INF, -1, top_i)
+        # ICI merge, shard order first => deterministic tie resolution
+        all_s = jax.lax.all_gather(top_s, axis)  # [S, Q, k]
+        all_i = jax.lax.all_gather(top_i, axis)
+        cat_s = jnp.swapaxes(all_s, 0, 1).reshape(qn, -1)
+        cat_i = jnp.swapaxes(all_i, 0, 1).reshape(qn, -1)
+        out_s, sel2 = jax.lax.top_k(cat_s, k)
+        out_i = jnp.take_along_axis(cat_i, sel2, axis=1)
+        return out_s, out_i
+
+    fn = shard_map(
+        local_search,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(q_probe, q_score, centroids, lists, rowids)

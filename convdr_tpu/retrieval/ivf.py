@@ -459,6 +459,45 @@ class IVFIndex:
             )
         return self._dev
 
+    def _device_arrays_sharded(self, mesh, axis: str):
+        """Sub-lists row-sharded over the mesh ``axis`` (pad sub-lists —
+        zero centroid, all rowids -1 — round L up to the axis size)."""
+        key = (id(mesh), axis)
+        if getattr(self, "_dev_sharded_key", None) == key:
+            return self._dev_sharded
+        import ml_dtypes
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_shards = int(mesh.shape[axis])
+        l_pad = -(-self.nlist // n_shards) * n_shards
+        pad = l_pad - self.nlist
+        cent = np.zeros((l_pad, self.dim), np.float32)
+        cent[: self.nlist] = self.centroids
+        lists = self.lists
+        rowids = self.rowids
+        if pad:
+            lists = np.concatenate(
+                [lists, np.zeros((pad, self.cap, self.dim), lists.dtype)]
+            )
+            rowids = np.concatenate(
+                [rowids, np.full((pad, self.cap), -1, np.int32)]
+            )
+        if lists.dtype == np.uint16:
+            lists = lists.view(ml_dtypes.bfloat16)
+        shard = NamedSharding(mesh, P(axis))
+        dtype = {
+            "float32": jnp.float32,
+            "bfloat16": jnp.bfloat16,
+            "int8": jnp.int8,
+        }[self.storage_dtype]
+        self._dev_sharded = (
+            jax.device_put(cent, shard),
+            jax.device_put(jnp.asarray(lists, dtype), shard),
+            jax.device_put(rowids, shard),
+        )
+        self._dev_sharded_key = key
+        return self._dev_sharded
+
     # -- search -----------------------------------------------------------
     def search(
         self,
@@ -467,11 +506,16 @@ class IVFIndex:
         *,
         nprobe: int = 8,
         max_candidate_bytes: int = 2 << 30,
+        mesh=None,
+        index_axis: str = "index",
     ) -> Tuple[np.ndarray, np.ndarray]:
         """ANN top-k. Returns (scores [Q, k] desc f32, rowids [Q, k] int32).
 
-        ``nprobe`` lists are scored per query; queries are chunked so the
-        gathered candidate tensor stays under ``max_candidate_bytes``.
+        ``nprobe`` sub-lists are scored per query; queries are chunked so
+        the gathered candidate tensor stays under ``max_candidate_bytes``.
+        With a ``mesh``, sub-lists shard over ``index_axis`` and each
+        device probes its balanced share of ``nprobe``
+        (:func:`convdr_tpu.parallel.sharded_search.sharded_ivf_topk`).
         """
         q = np.asarray(queries, np.float32)
         if q.ndim != 2 or q.shape[1] != self.dim:
@@ -486,19 +530,39 @@ class IVFIndex:
         ]
         per_query = nprobe * self.cap * self.dim * itemsize
         chunk = max(1, int(max_candidate_bytes // max(per_query, 1)))
-        cent, lists_dev, rid_dev = self._device_arrays()
+        if mesh is not None:
+            from convdr_tpu.parallel.sharded_search import sharded_ivf_topk
+
+            cent, lists_dev, rid_dev = self._device_arrays_sharded(
+                mesh, index_axis
+            )
+        else:
+            cent, lists_dev, rid_dev = self._device_arrays()
         out_s, out_i = [], []
         for lo in range(0, q.shape[0], chunk):
             hi = min(q.shape[0], lo + chunk)
-            s, i = _ivf_search_dev(
-                jnp.asarray(q[lo:hi]),
-                jnp.asarray(q_score[lo:hi]),
-                cent,
-                lists_dev,
-                rid_dev,
-                k,
-                nprobe,
-            )
+            if mesh is not None:
+                s, i = sharded_ivf_topk(
+                    mesh,
+                    jnp.asarray(q[lo:hi]),
+                    jnp.asarray(q_score[lo:hi]),
+                    cent,
+                    lists_dev,
+                    rid_dev,
+                    k,
+                    nprobe,
+                    axis=index_axis,
+                )
+            else:
+                s, i = _ivf_search_dev(
+                    jnp.asarray(q[lo:hi]),
+                    jnp.asarray(q_score[lo:hi]),
+                    cent,
+                    lists_dev,
+                    rid_dev,
+                    k,
+                    nprobe,
+                )
             s, i = np.asarray(s), np.asarray(i)
             if tq is not None:
                 s = np.where(

@@ -269,6 +269,38 @@ def test_ivf_build_from_blocks_int8_blocks(tmp_path):
         assert set(i[r]) == set(o_i[r])
 
 
+def test_ivf_sharded_search_matches_contract():
+    """8-device CPU mesh: full probe over sharded sub-lists reproduces the
+    flat oracle's sets; balanced per-shard probing keeps recall in family
+    with the single-device index at equal total nprobe."""
+    import jax
+    from convdr_tpu.parallel.mesh import get_mesh
+
+    assert len(jax.devices()) == 8
+    mesh = get_mesh(("index",))
+    x, _c, _w = _clustered(4000, 32, 64, seed=5, spread=0.05)
+    rng = np.random.Generator(np.random.PCG64(9))
+    q = x[rng.choice(4000, 16, replace=False)] + 0.01 * rng.standard_normal(
+        (16, 32), dtype=np.float32
+    )
+    idx = IVFIndex.build(x, 32, iters=10, seed=0)
+    _, o_i = topk_oracle(q, x, 10)
+    # full probe == exhaustive, regardless of how shards split the lists
+    _, i_full = idx.search(q, 10, nprobe=idx.nlist, mesh=mesh)
+    for r in range(16):
+        assert set(i_full[r]) == set(o_i[r])
+    # partial probe: balanced allocation stays in recall family
+    _, i_single = idx.search(q, 10, nprobe=16)
+    _, i_shard = idx.search(q, 10, nprobe=16, mesh=mesh)
+    rec_single = np.mean([
+        len(set(i_single[r]) & set(o_i[r])) / 10 for r in range(16)
+    ])
+    rec_shard = np.mean([
+        len(set(i_shard[r]) & set(o_i[r])) / 10 for r in range(16)
+    ])
+    assert rec_shard >= rec_single - 0.15, (rec_shard, rec_single)
+
+
 def test_ivf_rejects_bad_shapes():
     with pytest.raises(ValueError):
         IVFIndex(
