@@ -1,0 +1,205 @@
+"""Product quantization: ops/pq.py codec + flat ADC search.
+
+Contract under test (module docstring of ops/pq.py): ADC scores equal
+sum_m lut[q,m,codes[n,m]] — identically <q, decode(codes[n])> — and the
+device ADC matmul search matches the numpy oracle's top-k; fit/encode are
+MXU-batched but must agree with per-subspace numpy nearest-centroid
+assignment. The TPU counterpart of FAISS ProductQuantizer / IndexPQ, which
+the reference reaches through its FAISS dependency
+(run_convdr_inference.py:157-242).
+"""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from convdr_tpu.ops.exact_search import NEG_INF, topk_oracle
+from convdr_tpu.ops.pq import PQCodec, pq_adc_oracle, pq_flat_topk
+
+
+def clustered(rng, n=1200, d=32, n_clusters=24, spread=0.15):
+    centers = rng.randn(n_clusters, d).astype(np.float32)
+    assign = rng.randint(0, n_clusters, size=n)
+    return (
+        centers[assign] + spread * rng.randn(n, d).astype(np.float32)
+    ).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def codec_problem():
+    rng = np.random.RandomState(7)
+    passages = clustered(rng, n=1500, d=32)
+    queries = clustered(rng, n=9, d=32)
+    codec = PQCodec.fit(passages, m=8, nbits=4, iters=12, seed=3)
+    codes = codec.encode(passages)
+    return rng, passages, queries, codec, codes
+
+
+# ---------------------------------------------------------------------------
+# codec mechanics
+# ---------------------------------------------------------------------------
+def test_fit_shapes_and_validation(codec_problem):
+    _, _, _, codec, codes = codec_problem
+    assert codec.codebooks.shape == (8, 16, 4)
+    assert codec.dim == 32 and codec.ksub == 16 and codec.code_bytes == 8
+    assert codes.dtype == np.uint8 and codes.max() < 16
+    with pytest.raises(ValueError):
+        PQCodec(codec.codebooks, nbits=8)  # K=16 but nbits says 256
+    with pytest.raises(ValueError):
+        PQCodec.fit(np.zeros((100, 30), np.float32), m=7, nbits=4)  # 30 % 7
+
+
+def test_encode_matches_numpy_nearest(codec_problem):
+    _, passages, _, codec, codes = codec_problem
+    # brute-force nearest centroid per subspace
+    x = passages.reshape(passages.shape[0], codec.m, codec.dsub)
+    for mi in range(codec.m):
+        d2 = (
+            ((x[:, mi, None, :] - codec.codebooks[None, mi]) ** 2).sum(-1)
+        )  # [N, K]
+        want = np.argmin(d2, axis=1)
+        got = codes[:, mi].astype(np.int64)
+        # bf16 assignment may flip near-equidistant ties; distances must tie
+        diff = want != got
+        if diff.any():
+            np.testing.assert_allclose(
+                d2[diff, want[diff]], d2[diff, got[diff]], rtol=2e-2
+            )
+
+
+def test_decode_reconstruction_beats_mean(codec_problem):
+    _, passages, _, codec, codes = codec_problem
+    rec = codec.decode(codes)
+    mse = ((rec - passages) ** 2).mean()
+    base = ((passages - passages.mean(0)) ** 2).mean()
+    assert mse < 0.25 * base  # clustered data quantizes well
+
+
+def test_lut_is_subspace_inner_products(codec_problem):
+    _, _, queries, codec, _ = codec_problem
+    lut = codec.lut(queries)
+    assert lut.shape == (9, codec.m, codec.ksub)
+    qs = queries.reshape(9, codec.m, codec.dsub)
+    want = np.einsum("qmd,mkd->qmk", qs, codec.codebooks)
+    np.testing.assert_allclose(lut, want, rtol=1e-5, atol=1e-5)
+
+
+def test_adc_oracle_equals_decoded_inner_product(codec_problem):
+    _, _, queries, codec, codes = codec_problem
+    lut = codec.lut(queries)
+    s, i = pq_adc_oracle(lut, codes, k=5)
+    rec = codec.decode(codes)
+    want_s, want_i = topk_oracle(queries, rec, 5)
+    # identical math up to f32 summation order
+    np.testing.assert_allclose(s, want_s, rtol=1e-4, atol=1e-4)
+    assert (i == want_i).mean() > 0.95  # near-ties may swap
+
+
+def test_persistence_roundtrip(tmp_path, codec_problem):
+    _, passages, _, codec, codes = codec_problem
+    codec.save(str(tmp_path))
+    loaded = PQCodec.load(str(tmp_path))
+    assert loaded.nbits == codec.nbits
+    np.testing.assert_array_equal(loaded.codebooks, codec.codebooks)
+    np.testing.assert_array_equal(loaded.encode(passages[:64]), codes[:64])
+    assert PQCodec.load_optional(str(tmp_path / "nope")) is None
+    with pytest.raises(FileNotFoundError):
+        PQCodec.load(str(tmp_path / "nope"))
+
+
+# ---------------------------------------------------------------------------
+# flat ADC search
+# ---------------------------------------------------------------------------
+def assert_topk_set_equal(s, i, want_s, want_i):
+    np.testing.assert_allclose(s, want_s, rtol=1e-4, atol=1e-4)
+    for q in range(i.shape[0]):
+        assert set(i[q].tolist()) == set(want_i[q].tolist())
+
+
+@pytest.mark.parametrize("block_rows", [1 << 18, 256, 100])
+def test_flat_topk_matches_oracle(codec_problem, block_rows):
+    # 256 => 6 blocks (static unroll); 100 => 15 blocks (lax.scan path)
+    _, _, queries, codec, codes = codec_problem
+    lut = codec.lut(queries)
+    want_s, want_i = pq_adc_oracle(lut, codes, k=10)
+    s, i = pq_flat_topk(
+        jnp.asarray(lut), jnp.asarray(codes), 10, codec.ksub,
+        block_rows=block_rows, exact=True,
+    )
+    assert_topk_set_equal(np.asarray(s), np.asarray(i), want_s, want_i)
+
+
+def test_flat_topk_default_precision_recall(codec_problem):
+    # bf16 LUT rounding must not disturb the recalled set on separated data
+    _, _, queries, codec, codes = codec_problem
+    lut = codec.lut(queries)
+    want_s, want_i = pq_adc_oracle(lut, codes, k=10)
+    s, i = pq_flat_topk(jnp.asarray(lut), jnp.asarray(codes), 10, codec.ksub)
+    overlap = np.mean(
+        [
+            len(set(i[q].tolist()) & set(want_i[q].tolist())) / 10.0
+            for q in range(i.shape[0])
+        ]
+    )
+    assert overlap >= 0.9
+
+
+def test_flat_topk_valid_rows_mask(codec_problem):
+    _, _, queries, codec, codes = codec_problem
+    lut = codec.lut(queries)
+    n = codes.shape[0]
+    padded = np.concatenate([codes, codes[:37]])  # duplicate high scorers
+    want_s, want_i = pq_adc_oracle(lut, codes, k=8)
+    s, i = pq_flat_topk(
+        jnp.asarray(lut), jnp.asarray(padded), 8, codec.ksub,
+        valid_rows=n, exact=True,
+    )
+    assert np.asarray(i).max() < n
+    assert_topk_set_equal(np.asarray(s), np.asarray(i), want_s, want_i)
+
+
+def test_flat_topk_k_exceeds_corpus(codec_problem):
+    _, _, queries, codec, codes = codec_problem
+    lut = codec.lut(queries)
+    small = codes[:6]
+    s, i = pq_flat_topk(
+        jnp.asarray(lut), jnp.asarray(small), 9, codec.ksub, exact=True
+    )
+    s, i = np.asarray(s), np.asarray(i)
+    assert s.shape == (9, 9) and np.all(i[:, 6:] == -1)
+    assert np.all(s[:, 6:] == NEG_INF)
+    want_s, want_i = pq_adc_oracle(lut, small, k=6)
+    assert_topk_set_equal(s[:, :6], i[:, :6], want_s, want_i)
+
+
+def test_pq8_recall_against_float_search():
+    # end-to-end quality on clustered data. Within-cluster neighbors sit
+    # closer than the reconstruction error, so direct top-10 overlap is
+    # moderate by nature — the serving contract is CANDIDATE recall: the
+    # exact top-10 must surface inside a wider ADC candidate list, where a
+    # rescoring pass (ops/quant.py::rescore_candidates, FAISS
+    # IndexRefineFlat) recovers exact ranking.
+    rng = np.random.RandomState(11)
+    passages = clustered(rng, n=3000, d=64, n_clusters=40)
+    queries = clustered(rng, n=12, d=64, n_clusters=40)
+    codec = PQCodec.fit(passages, m=16, nbits=8, iters=10, seed=5)
+    codes = codec.encode(passages)
+    lut = codec.lut(queries)
+    _, want_i = topk_oracle(queries, passages, 10)
+
+    def overlap(k_cand):
+        _, i = pq_flat_topk(
+            jnp.asarray(lut), jnp.asarray(codes), k_cand, codec.ksub
+        )
+        i = np.asarray(i)
+        return np.mean(
+            [
+                len(set(i[q].tolist()) & set(want_i[q].tolist())) / 10.0
+                for q in range(12)
+            ]
+        )
+
+    assert overlap(10) >= 0.35
+    assert overlap(50) >= 0.85  # rescore_factor=5 recovers exact ranking
