@@ -1,15 +1,18 @@
-"""CLI: build a TPU-native IVF index from embedding blocks.
+"""CLI: build a TPU-native ANN index (IVF or PQ) from embedding blocks.
 
 The reference has no index-building driver because FAISS builds indexes
 in-process (/root/reference/drivers/run_convdr_inference.py:157-182 creates
-a fresh FlatIP per block on every inference run). IVF inverts that
-economics: cluster + pack once (this driver), then serve many inference
-runs at a fraction of the exact scan's latency via
-``run_convdr_inference --ivf_dir ... --nprobe ...``.
+a fresh FlatIP per block on every inference run). Offline indexes invert
+that economics: cluster/quantize + pack once (this driver), then serve
+many inference runs — IVF at a fraction of the exact scan's latency
+(``run_convdr_inference --ivf_dir ... --nprobe ...``), PQ with the whole
+corpus HBM-resident at 48-96 bytes/row
+(``run_convdr_inference --pq_dir ...``).
 
 Input: a ``gen_passage_embeddings`` output directory (float32 / bfloat16 /
 int8 block files + sidecars). Output: an index directory loadable by
-:class:`convdr_tpu.retrieval.ivf.IVFIndex`.
+:class:`convdr_tpu.retrieval.ivf.IVFIndex` or
+:class:`convdr_tpu.retrieval.pq_index.PQIndex`.
 """
 
 from __future__ import annotations
@@ -19,6 +22,7 @@ import json
 import logging
 
 from convdr_tpu.retrieval.ivf import IVFIndex
+from convdr_tpu.retrieval.pq_index import PQIndex
 
 logger = logging.getLogger(__name__)
 
@@ -34,9 +38,26 @@ def get_arguments(argv=None):
         help="output directory for the built index",
     )
     parser.add_argument(
-        "--nlist", type=int, required=True,
-        help="number of inverted lists (k-means centroids); FAISS rule of "
-        "thumb ~sqrt(N)..16*sqrt(N)",
+        "--index_type", default="ivf", choices=["ivf", "pq"],
+        help="ivf = inverted lists over the stored rows (low-latency "
+        "probing); pq = product-quantized flat codes (48-96 B/row, whole "
+        "corpus HBM-resident)",
+    )
+    parser.add_argument(
+        "--nlist", type=int, default=0,
+        help="IVF: number of inverted lists (k-means centroids); FAISS "
+        "rule of thumb ~sqrt(N)..16*sqrt(N)",
+    )
+    parser.add_argument(
+        "--pq_m", type=int, default=96,
+        help="PQ: subquantizer count (code bytes per row); dim must "
+        "divide by it",
+    )
+    parser.add_argument(
+        "--pq_nbits", type=int, default=8, choices=[4, 8],
+        help="PQ: bits per subquantizer. 4 => 16 centroids, ADC sweep "
+        "~2x an exact-scan matmul; 8 => 256 centroids, better recall, "
+        "ADC ~32x (use with IVF probing or small corpora)",
     )
     parser.add_argument(
         "--storage_dtype", default="float32",
@@ -68,6 +89,31 @@ def main(argv=None):
         level=logging.INFO,
     )
     args = get_arguments(argv)
+    if args.index_type == "pq":
+        index = PQIndex.build_from_blocks(
+            args.ann_data_dir,
+            args.pq_m,
+            args.pq_nbits,
+            iters=args.kmeans_iters,
+            seed=args.seed,
+            train_sample=args.train_sample or None,
+            max_blocks=args.max_blocks or None,
+        )
+        index.save(args.index_dir)
+        summary = {
+            "index_dir": args.index_dir,
+            "index_type": "pq",
+            "m": index.codec.m,
+            "nbits": index.codec.nbits,
+            "dim": index.dim,
+            "ntotal": index.ntotal,
+            "code_tensor_bytes": int(index.codes.nbytes),
+        }
+        logger.info("built PQ index: %s", summary)
+        print(json.dumps(summary))
+        return summary
+    if args.nlist <= 0:
+        raise SystemExit("--nlist is required for --index_type ivf")
     index = IVFIndex.build_from_blocks(
         args.ann_data_dir,
         args.nlist,
@@ -81,6 +127,7 @@ def main(argv=None):
     index.save(args.index_dir)
     summary = {
         "index_dir": args.index_dir,
+        "index_type": "ivf",
         "nlist": index.nlist,
         "cap": index.cap,
         "dim": index.dim,

@@ -84,11 +84,12 @@ def get_arguments(argv=None):
     )
     parser.add_argument(
         "--rescore_factor", default=0, type=int,
-        help="int8 only: re-rank the top (rescore_factor * top_n) "
+        help="int8/PQ: re-rank the top (rescore_factor * top_n) "
         "quantized candidates with full-precision host-side scores before "
         "the final cut (FAISS IndexRefineFlat's k_factor). Needs FLOAT "
-        "block files searched under --storage_dtype int8 (quantized scan, "
-        "original rows refine). 2 recovers f32-grade ranking; 0 = off",
+        "block files (int8: searched under --storage_dtype int8; PQ: one "
+        "streaming pass over --ann_data_dir refines --pq_dir's ADC "
+        "candidates). int8: 2 recovers f32-grade ranking; 0 = off",
     )
     parser.add_argument(
         "--matmul_precision", default="highest",
@@ -126,6 +127,16 @@ def get_arguments(argv=None):
         "--nprobe", type=int, default=32,
         help="IVF only: lists probed per query (recall knob; "
         "nprobe == nlist is exhaustive)",
+    )
+    parser.add_argument(
+        "--pq_dir", type=str, default="",
+        help="search a prebuilt PQ index (build_ivf_index --index_type pq) "
+        "instead of streaming --ann_data_dir's blocks: the whole corpus "
+        "stays HBM-resident as 48-96 B/row ADC codes, so repeated sweeps "
+        "never touch the host. Approximate ranking; combine with "
+        "--rescore_factor (block-pass refinement) to recover exact "
+        "ranking of the recalled set. --ann_data_dir is still required "
+        "for id maps",
     )
     parser.add_argument("--no_mesh", action="store_true")
     parser.add_argument(
@@ -227,7 +238,40 @@ def main(argv=None):
             all_raw.update(raw)
     query_embs = np.concatenate(all_embs, axis=0)
 
-    if args.ivf_dir:
+    if args.ivf_dir and args.pq_dir:
+        raise SystemExit("--ivf_dir and --pq_dir are mutually exclusive")
+    if args.pq_dir:
+        from convdr_tpu.retrieval.pq_index import PQIndex
+
+        index = PQIndex.load(args.pq_dir)
+        logger.info(
+            "PQ search: ntotal=%d m=%d nbits=%d rescore_factor=%d",
+            index.ntotal, index.codec.m, index.codec.nbits,
+            args.rescore_factor,
+        )
+        with PhaseTimer("search"), profile_trace(args.profile_dir):
+            if args.rescore_factor > 0:
+                # ADC proposes, one streaming block pass refines (FAISS
+                # IndexRefineFlat). search() returns rowids; the block
+                # pass needs ROW POSITIONS, so run the ADC scan directly.
+                from convdr_tpu.ops.pq import pq_flat_topk
+
+                lut = jnp.asarray(index.codec.lut(query_embs))
+                _, pos = pq_flat_topk(
+                    lut,
+                    index._device_codes(),
+                    args.rescore_factor * args.top_n,
+                    index.codec.ksub,
+                )
+                scores, offsets = index.rescore_block_pass(
+                    args.ann_data_dir, query_embs, np.asarray(pos),
+                    args.top_n,
+                )
+            else:
+                scores, offsets = index.search(
+                    query_embs, args.top_n, mesh=mesh
+                )
+    elif args.ivf_dir:
         from convdr_tpu.retrieval.ivf import IVFIndex
 
         index = IVFIndex.load(args.ivf_dir)

@@ -192,3 +192,73 @@ def sharded_ivf_topk(
         check_vma=False,
     )
     return fn(q_probe, q_score, centroids, lists, rowids)
+
+
+def sharded_pq_topk(
+    mesh: Mesh,
+    lut: jnp.ndarray,
+    code_shards: jnp.ndarray,
+    k: int,
+    ksub: int,
+    *,
+    valid_rows: int = -1,
+    block_rows: int = 1 << 18,
+    axis: str = "index",
+    exact: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """ADC search over row-sharded PQ codes; returns replicated (scores, idx).
+
+    lut         [Q, M, K] f32      replicated per-query ADC tables
+    code_shards [N_padded, M] u8   sharded over ``axis`` on dim 0
+    valid_rows  logical corpus size before padding (-1 => N_padded)
+
+    The PQ analogue of :func:`sharded_flat_ip_topk`: every device runs the
+    blocked ADC matmul scan (:func:`convdr_tpu.ops.pq.pq_flat_topk`) over
+    its code shard, per-shard top-k lists merge with an ``all_gather``
+    over ICI + stable top-k. Shard 0 holds the lowest global rows, so ties
+    resolve to the lower row index like the single-device kernel.
+    """
+    from convdr_tpu.ops.pq import pq_flat_topk
+
+    n_pad = code_shards.shape[0]
+    n_shards = mesh.shape[axis]
+    if n_pad % n_shards:
+        raise ValueError(
+            f"padded rows {n_pad} not divisible by {n_shards} shards"
+        )
+    rows_per_shard = n_pad // n_shards
+    valid = n_pad if valid_rows < 0 else valid_rows
+
+    def local_search(lt, codes):
+        shard_id = jax.lax.axis_index(axis)
+        base = shard_id * rows_per_shard
+        local_valid = jnp.clip(valid - base, 0, rows_per_shard)
+        s, i = pq_flat_topk(
+            lt,
+            codes,
+            k,
+            ksub,
+            block_rows=min(block_rows, rows_per_shard),
+            valid_rows=local_valid,
+            exact=exact,
+        )
+        row_ok = i >= 0
+        s = jnp.where(row_ok, s, NEG_INF)
+        i = jnp.where(row_ok, i + base, -1)
+        all_s = jax.lax.all_gather(s, axis)  # [S, Q, k]
+        all_i = jax.lax.all_gather(i, axis)
+        qn = lt.shape[0]
+        cat_s = jnp.swapaxes(all_s, 0, 1).reshape(qn, -1)
+        cat_i = jnp.swapaxes(all_i, 0, 1).reshape(qn, -1)
+        top_s, sel = jax.lax.top_k(cat_s, k)
+        top_i = jnp.take_along_axis(cat_i, sel, axis=1)
+        return top_s, top_i
+
+    fn = shard_map(
+        local_search,
+        mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(lut, code_shards)

@@ -1,0 +1,396 @@
+"""HBM-resident PQ index (FAISS ``IndexPQ`` / ``IndexRefineFlat`` family).
+
+The reference streams 8 float32 pickle blocks through FAISS FlatIP per
+inference run (/root/reference/drivers/run_convdr_inference.py:157-242) —
+at its 38M-passage scale (README.md:152) that is >100 GB of disk traffic
+PER QUERY SWEEP on any accelerator whose memory can't hold the corpus.
+This index holds PQ codes instead: 48-96 bytes/row puts the entire 38M
+corpus in a single v5e's HBM, so after one build, query sweeps never touch
+the host again. Search is the ADC-as-matmul scan (ops/pq.py); optional
+rescoring re-ranks the ADC candidate list against the original float rows
+(FAISS ``IndexRefineFlat``) either from an in-memory matrix or via one
+streaming pass over the embedding block files.
+
+Quality contract: ADC ranking approximates inner-product ranking with the
+codec's reconstruction error; candidate recall at rescore_factor x k is
+the serving contract (tests/test_pq.py). Rowids follow the IVF convention
+(emb2offset payloads), so drivers map results to passage ids identically.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from convdr_tpu.ops.exact_search import NEG_INF
+from convdr_tpu.ops.pq import PQCodec, pq_flat_topk
+from convdr_tpu.utils.transfer import device_put_chunked
+
+logger = logging.getLogger(__name__)
+
+_META_FILENAME = "pq_index_meta.json"
+
+# [Q, block] f32 score transients bound the query chunk (the ADC one-hot
+# block is bounded separately inside pq_flat_topk)
+_MAX_QUERY_CHUNK = 2048
+
+
+class PQIndex:
+    """Product-quantized flat index: codes [N, M] uint8 + payload rowids."""
+
+    def __init__(
+        self,
+        codec: PQCodec,
+        codes: np.ndarray,
+        rowids: Optional[np.ndarray] = None,
+        *,
+        stats: Optional[dict] = None,
+    ):
+        codes = np.asarray(codes)
+        if codes.ndim != 2 or codes.shape[1] != codec.m:
+            raise ValueError(
+                f"codes must be [N, {codec.m}] for this codec, got "
+                f"{codes.shape}"
+            )
+        if codes.dtype != np.uint8:
+            raise ValueError(f"codes must be uint8, got {codes.dtype}")
+        if rowids is None:
+            rowids = np.arange(codes.shape[0], dtype=np.int32)
+        rowids = np.asarray(rowids, np.int32)
+        if rowids.shape != (codes.shape[0],):
+            raise ValueError("rowids must be one id per code row")
+        self.codec = codec
+        self.codes = codes
+        self.rowids = rowids
+        self.stats = dict(stats or {})
+        self._dev: Optional[jnp.ndarray] = None
+        self._dev_sharded = None
+        self._dev_sharded_key = None
+
+    # -- geometry -------------------------------------------------------
+    @property
+    def ntotal(self) -> int:
+        return self.codes.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.codec.dim
+
+    @property
+    def code_bytes(self) -> int:
+        return self.codec.m
+
+    # -- build ----------------------------------------------------------
+    @classmethod
+    def build(
+        cls,
+        embeddings: np.ndarray,
+        m: int,
+        nbits: int = 8,
+        *,
+        rowids: Optional[np.ndarray] = None,
+        iters: int = 20,
+        seed: int = 42,
+        train_sample: Optional[int] = None,
+        codec: Optional[PQCodec] = None,
+    ) -> "PQIndex":
+        """Fit a codec on ``embeddings`` [N, D] (or reuse ``codec``) and
+        encode every row. ``train_sample`` caps the codebook training set
+        (None = FAISS's ~256 rows per centroid)."""
+        emb = np.asarray(embeddings, np.float32)
+        if codec is None:
+            codec = PQCodec.fit(
+                emb, m, nbits, iters=iters, seed=seed,
+                sample_max=train_sample,
+            )
+        codes = codec.encode(emb)
+        return cls(codec, codes, rowids, stats={"block_sizes": [len(emb)]})
+
+    @classmethod
+    def build_from_blocks(
+        cls,
+        ann_data_dir: str,
+        m: int,
+        nbits: int = 8,
+        *,
+        iters: int = 20,
+        seed: int = 42,
+        train_sample: Optional[int] = None,
+        max_blocks: Optional[int] = None,
+    ) -> "PQIndex":
+        """Build from on-disk embedding blocks (gen_passage_embeddings
+        output) in ONE streaming pass, RAM-bounded to max(one float block,
+        the codebook training sample) + the packed codes: float blocks
+        buffer (round-robin shards are unbiased samples) until the
+        training target — ``train_sample`` or FAISS's ~256 rows per
+        centroid — is covered or the stream ends, the codec fits, pending
+        blocks flush through encode, and every later block encodes as it
+        is read. Row payloads are each block's emb2offset values, so
+        search returns token-cache offsets exactly like
+        ``BlockedSearcher.search_blocks``. int8 blocks are dequantized
+        with their scales sidecar before encoding (PQ re-quantizes the
+        reconstructed rows)."""
+        from convdr_tpu.ops.quant import Int8Quantizer
+        from convdr_tpu.retrieval.blocks import iter_embedding_blocks
+
+        fit_target = train_sample if train_sample else 256 * (1 << nbits)
+        codec = None
+        quantizer = None
+        pending = []  # float blocks seen before the codec could fit
+        pending_rows = 0
+        all_codes = []
+        all_ids = []
+        sizes = []
+
+        def flush(femb_list):
+            for femb in femb_list:
+                all_codes.append(codec.encode(femb))
+
+        for block_id, emb, emb2offset in iter_embedding_blocks(
+            ann_data_dir, max_blocks=max_blocks
+        ):
+            if emb.shape[0] == 0:
+                sizes.append(0)
+                continue
+            if emb.dtype == np.int8:
+                if quantizer is None:
+                    quantizer = Int8Quantizer.load(ann_data_dir)
+                femb = emb.astype(np.float32) * quantizer.scales[None, :]
+            else:
+                femb = np.asarray(emb, np.float32)
+            off = np.asarray(emb2offset, np.int64)
+            if off.size and off.max() >= 2**31:
+                raise ValueError("emb2offset exceeds int32 payload range")
+            all_ids.append(off.astype(np.int32))
+            sizes.append(emb.shape[0])
+            if codec is None:
+                pending.append(femb)
+                pending_rows += femb.shape[0]
+                if pending_rows >= fit_target:
+                    codec = PQCodec.fit(
+                        np.concatenate(pending) if len(pending) > 1
+                        else pending[0],
+                        m, nbits, iters=iters, seed=seed,
+                        sample_max=train_sample,
+                    )
+                    flush(pending)
+                    pending = []
+            else:
+                flush([femb])
+            logger.info(
+                "pq build block %d: %d rows read", block_id, emb.shape[0]
+            )
+        if codec is None and pending:
+            # stream ended before the sample target: fit on everything
+            codec = PQCodec.fit(
+                np.concatenate(pending) if len(pending) > 1 else pending[0],
+                m, nbits, iters=iters, seed=seed, sample_max=train_sample,
+            )
+            flush(pending)
+        if codec is None:
+            raise FileNotFoundError(
+                f"No embedding blocks found in {ann_data_dir}"
+            )
+        return cls(
+            codec,
+            np.concatenate(all_codes),
+            np.concatenate(all_ids),
+            stats={"block_sizes": sizes},
+        )
+
+    # -- device binding ---------------------------------------------------
+    def _device_codes(self) -> jnp.ndarray:
+        if self._dev is None:
+            self._dev = device_put_chunked(self.codes, jnp.uint8)
+        return self._dev
+
+    def _device_codes_sharded(self, mesh, axis: str) -> jnp.ndarray:
+        key = (id(mesh), axis)
+        if self._dev_sharded_key == key:
+            return self._dev_sharded
+        from jax import device_put
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_shards = int(mesh.shape[axis])
+        n_pad = -(-self.ntotal // n_shards) * n_shards
+        codes = self.codes
+        if n_pad > self.ntotal:
+            codes = np.concatenate(
+                [codes, np.zeros((n_pad - self.ntotal, self.codec.m), np.uint8)]
+            )
+        self._dev_sharded = device_put(codes, NamedSharding(mesh, P(axis)))
+        self._dev_sharded_key = key
+        return self._dev_sharded
+
+    # -- search -----------------------------------------------------------
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int,
+        *,
+        rescore_factor: int = 0,
+        rescore_passages: Optional[np.ndarray] = None,
+        mesh=None,
+        index_axis: str = "index",
+        exact: bool = False,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """ADC top-k. Returns (scores [Q, k] desc f32, rowids [Q, k] int32).
+
+        ``rescore_factor`` > 0 re-ranks the top ``rescore_factor * k`` ADC
+        candidates against ``rescore_passages`` [N, D] float rows (indexed
+        by ROW POSITION, not rowid — pass the same matrix the index was
+        built from); use :meth:`rescore_block_pass` when the float rows
+        only exist as block files. With a ``mesh``, codes row-shard over
+        ``index_axis`` and per-shard lists merge over ICI.
+        """
+        q = np.asarray(queries, np.float32)
+        if q.ndim != 2 or q.shape[1] != self.dim:
+            raise ValueError(f"queries must be [Q, {self.dim}]")
+        if rescore_factor and rescore_passages is None:
+            raise ValueError(
+                "rescore_factor needs rescore_passages (in-memory float "
+                "rows) — or call rescore_block_pass for block files"
+            )
+        k_cand = max(k, rescore_factor * k) if rescore_factor else k
+        out_s, out_i = [], []
+        for lo in range(0, q.shape[0], _MAX_QUERY_CHUNK):
+            hi = min(q.shape[0], lo + _MAX_QUERY_CHUNK)
+            lut = jnp.asarray(self.codec.lut(q[lo:hi]))
+            if mesh is not None:
+                from convdr_tpu.parallel.sharded_search import sharded_pq_topk
+
+                codes_dev = self._device_codes_sharded(mesh, index_axis)
+                s, i = sharded_pq_topk(
+                    mesh, lut, codes_dev, k_cand, self.codec.ksub,
+                    valid_rows=self.ntotal, axis=index_axis, exact=exact,
+                )
+            else:
+                s, i = pq_flat_topk(
+                    lut, self._device_codes(), k_cand, self.codec.ksub,
+                    exact=exact,
+                )
+            out_s.append(np.asarray(s))
+            out_i.append(np.asarray(i))
+        s = np.concatenate(out_s)
+        pos = np.concatenate(out_i)
+        if rescore_factor:
+            from convdr_tpu.ops.quant import rescore_candidates
+
+            s, pos = rescore_candidates(q, rescore_passages, pos, k)
+        # map row positions -> payload rowids
+        ids = np.where(pos >= 0, self.rowids[np.clip(pos, 0, None)], -1)
+        return s.astype(np.float32), ids.astype(np.int32)
+
+    def rescore_block_pass(
+        self,
+        ann_data_dir: str,
+        queries: np.ndarray,
+        cand_pos: np.ndarray,
+        k: int,
+        *,
+        max_blocks: Optional[int] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Re-rank ADC candidates against float rows streamed from block
+        files (one sequential disk pass, no corpus residency).
+
+        ``cand_pos`` [Q, m] are ROW POSITIONS from an un-rescored
+        :meth:`search` built via :meth:`build_from_blocks` (positions are
+        block-concatenation order, recorded in ``stats['block_sizes']``).
+        Returns (scores [Q, k] f32 desc, rowids [Q, k] int32) with exact
+        float ranking of the candidate set — FAISS ``IndexRefineFlat``
+        semantics at streaming cost.
+        """
+        from convdr_tpu.retrieval.blocks import iter_embedding_blocks
+
+        sizes = self.stats.get("block_sizes")
+        if not sizes:
+            raise ValueError(
+                "rescore_block_pass needs stats['block_sizes'] (an index "
+                "from build_from_blocks)"
+            )
+        starts = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
+        q = np.asarray(queries, np.float32)
+        pos = np.asarray(cand_pos, np.int64)
+        scores = np.full(pos.shape, NEG_INF, np.float32)
+        bi = 0
+        for block_id, emb, _e2o in iter_embedding_blocks(
+            ann_data_dir, max_blocks=max_blocks
+        ):
+            lo, hi_ = starts[bi], starts[bi + 1]
+            bi += 1
+            if emb.shape[0] == 0:
+                continue
+            in_block = (pos >= lo) & (pos < hi_)
+            if not in_block.any():
+                continue
+            qi, slot = np.nonzero(in_block)
+            rows = np.asarray(
+                emb[pos[qi, slot] - lo], np.float32
+            )  # [C, D]
+            scores[qi, slot] = np.einsum(
+                "cd,cd->c", rows, q[qi], dtype=np.float32
+            )
+        if bi < len(sizes):
+            raise ValueError(
+                f"block files in {ann_data_dir} ended at block {bi} but the "
+                f"index was built from {len(sizes)} blocks"
+            )
+        # exact float ranking of the candidate set; (score desc, pos asc)
+        key = np.where(pos >= 0, pos, np.iinfo(np.int64).max)
+        ord0 = np.argsort(key, axis=1, kind="stable")
+        pos = np.take_along_axis(pos, ord0, axis=1)
+        scores = np.take_along_axis(scores, ord0, axis=1)
+        kk = min(k, pos.shape[1])
+        sel = np.argsort(-scores, axis=1, kind="stable")[:, :kk]
+        out_s = np.take_along_axis(scores, sel, axis=1)
+        out_p = np.take_along_axis(pos, sel, axis=1)
+        if kk < k:
+            out_s = np.pad(
+                out_s, ((0, 0), (0, k - kk)), constant_values=NEG_INF
+            )
+            out_p = np.pad(out_p, ((0, 0), (0, k - kk)), constant_values=-1)
+        out_p = np.where(out_s <= NEG_INF, -1, out_p)
+        ids = np.where(
+            out_p >= 0, self.rowids[np.clip(out_p, 0, None)], -1
+        )
+        return out_s.astype(np.float32), ids.astype(np.int32)
+
+    # -- persistence --------------------------------------------------------
+    def save(self, index_dir: str) -> None:
+        os.makedirs(index_dir, exist_ok=True)
+        np.save(os.path.join(index_dir, "codes.npy"), self.codes)
+        np.save(os.path.join(index_dir, "rowids.npy"), self.rowids)
+        self.codec.save(index_dir)
+        meta = {
+            "ntotal": self.ntotal,
+            "dim": self.dim,
+            "m": self.codec.m,
+            "nbits": self.codec.nbits,
+            "stats": self.stats,
+        }
+        with open(os.path.join(index_dir, _META_FILENAME), "w") as f:
+            json.dump(meta, f, indent=2)
+
+    @classmethod
+    def load(cls, index_dir: str, *, mmap: bool = True) -> "PQIndex":
+        meta_path = os.path.join(index_dir, _META_FILENAME)
+        if not os.path.exists(meta_path):
+            raise FileNotFoundError(f"no PQ index at {meta_path}")
+        with open(meta_path) as f:
+            meta = json.load(f)
+        mmap_mode = "r" if mmap else None
+        return cls(
+            PQCodec.load(index_dir),
+            np.load(os.path.join(index_dir, "codes.npy"), mmap_mode=mmap_mode),
+            np.load(os.path.join(index_dir, "rowids.npy")),
+            stats=meta.get("stats"),
+        )
+
+
+def is_pq_index_dir(index_dir: str) -> bool:
+    return os.path.exists(os.path.join(index_dir, _META_FILENAME))

@@ -267,6 +267,53 @@ def test_04d_inference_driver_ivf(workdir):
     assert "ndcg_cut_3" in ivf_1  # reduced probe still runs end to end
 
 
+def test_04e_inference_driver_pq(workdir):
+    """PQ surface end-to-end: build_ivf_index --index_type pq encodes the
+    embed driver's blocks, --pq_dir serves the resident ADC scan, and
+    --rescore_factor's block pass (full-width on the tiny corpus)
+    reproduces the exact search's metrics."""
+    from convdr_tpu.drivers import build_ivf_index
+
+    summary = build_ivf_index.main([
+        "--ann_data_dir", str(workdir / "embeddings"),
+        "--index_dir", str(workdir / "pq"),
+        "--index_type", "pq",
+        "--pq_m", "8",
+        "--pq_nbits", "4",
+        "--kmeans_iters", "6",
+    ])
+    assert summary["ntotal"] == N_PASSAGES
+    assert summary["index_type"] == "pq"
+    assert summary["code_tensor_bytes"] == N_PASSAGES * 8
+
+    def infer(*extra):
+        return run_convdr_inference.main([
+            "--model_path", str(workdir / "model"),
+            "--eval_file", str(workdir / "raw" / "eval_topics.jsonl"),
+            "--model_type", "rdot_nll",
+            "--ann_data_dir", str(workdir / "embeddings"),
+            "--processed_data_dir", str(workdir / "processed"),
+            "--raw_data_dir", str(workdir / "raw"),
+            "--qrels", str(workdir / "raw" / "qrels.tsv"),
+            "--output_query_type", "raw",
+            "--top_n", "10",
+            "--max_concat_length", "48",
+            "--arch_size", "tiny",
+            "--no_mesh",
+            *extra,
+        ])
+
+    base = infer()
+    pq_raw = infer("--pq_dir", str(workdir / "pq"))
+    assert "ndcg_cut_3" in pq_raw  # approximate ranking runs end to end
+    # rescore_factor * top_n >= N_PASSAGES: the candidate list covers the
+    # corpus and the block-pass refinement recovers the exact metrics
+    pq_rescored = infer(
+        "--pq_dir", str(workdir / "pq"), "--rescore_factor", "3"
+    )
+    assert pq_rescored == pytest.approx(base), (pq_rescored, base)
+
+
 def test_05_cross_validation_drivers(workdir):
     """5-fold CV surface: fold files, per-fold models, fold inference."""
     raw = workdir / "raw"
