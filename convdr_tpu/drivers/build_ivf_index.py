@@ -61,9 +61,11 @@ def get_arguments(argv=None):
     )
     parser.add_argument(
         "--storage_dtype", default="float32",
-        choices=["float32", "bfloat16", "int8"],
-        help="list-tensor dtype. int8 = SQ8 (quarter the HBM, "
-        "integer-exact candidate scoring); int8 BLOCK files force int8",
+        choices=["float32", "bfloat16", "int8", "pq4", "pq8"],
+        help="IVF list-tensor dtype. int8 = SQ8 (quarter the HBM, "
+        "integer-exact candidate scoring); pq4/pq8 = PQ codes (--pq_m "
+        "bytes/row, the FAISS IVFPQ composition — reference-scale corpora "
+        "fit HBM); int8 BLOCK files force int8 or pq",
     )
     parser.add_argument(
         "--slack", type=float, default=1.0,
@@ -123,6 +125,7 @@ def main(argv=None):
         seed=args.seed,
         train_sample=args.train_sample or None,
         max_blocks=args.max_blocks or None,
+        pq_m=args.pq_m,
     )
     index.save(args.index_dir)
     summary = {

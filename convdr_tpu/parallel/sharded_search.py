@@ -150,7 +150,12 @@ def sharded_ivf_topk(
         rid_g = jnp.take(rid, flat_probes, axis=0).reshape(
             qn, nprobe_local * cap
         )
-        if ls.dtype == jnp.int8:
+        if ls.dtype == jnp.uint8:
+            # IVFPQ lists: d is the code width, qs the [Q, M, K] ADC LUT
+            from convdr_tpu.retrieval.ivf import _adc_candidate_scores
+
+            scores = _adc_candidate_scores(cand, qs, qs.shape[-1])
+        elif ls.dtype == jnp.int8:
             scores = jnp.einsum(
                 "qnd,qd->qn",
                 cand.astype(jnp.bfloat16),

@@ -50,6 +50,7 @@ import numpy as np
 
 from convdr_tpu.ops.exact_search import NEG_INF, grouped_topk_last_axis
 from convdr_tpu.ops.kmeans import assign_top_t, fit_kmeans
+from convdr_tpu.ops.pq import PQCodec
 from convdr_tpu.ops.quant import Int8Quantizer, quantize_passages
 from convdr_tpu.utils.transfer import device_put_chunked
 
@@ -122,7 +123,57 @@ def _sublist_layout(
     return sub_id, slot, owner, stats
 
 
-@functools.partial(jax.jit, static_argnames=("k", "nprobe"))
+def _adc_candidate_scores(
+    cand_codes: jnp.ndarray,
+    lut: jnp.ndarray,
+    ksub: int,
+    exact: bool = False,
+) -> jnp.ndarray:
+    """ADC scores for per-query gathered PQ candidates.
+
+    cand_codes [Q, C, M] integer codes, lut [Q, M, K] f32 ->
+    scores [Q, C] f32: sum_m lut[q, m, cand_codes[q, c, m]].
+
+    Unlike the flat scan's QUERY-SHARED one-hot (ops/pq.py), IVF
+    candidates differ per query, so the one-hot block is per-query —
+    [Q, C, M, K] — and is the memory driver. A q-chunked lax.scan keeps
+    the transient ~256 MB; nbits=4 (K=16) keeps its HBM traffic near the
+    gathered-candidate traffic itself (nbits=8 pays 16x more one-hot
+    bytes — prefer pq4 lists for latency-bound probing). ``exact`` keeps
+    f32 operands through the contraction (test parity with
+    :func:`convdr_tpu.ops.pq.pq_adc_oracle`).
+    """
+    qn, c, m = cand_codes.shape
+    dtype = jnp.float32 if exact else jnp.bfloat16
+    precision = jax.lax.Precision.HIGHEST if exact else None
+    lut_x = lut.astype(dtype)
+    per_q = c * m * ksub * (4 if exact else 2)
+    q_chunk = max(1, min(qn, (256 << 20) // max(per_q, 1)))
+
+    def score(codes_c, lut_c):
+        oh = jax.nn.one_hot(codes_c, ksub, dtype=dtype)  # [qc, C, M, K]
+        return jnp.einsum(
+            "qcmk,qmk->qc",
+            oh,
+            lut_c,
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+
+    if q_chunk >= qn:
+        return score(cand_codes, lut_x)
+    nchunks = -(-qn // q_chunk)
+    pad = nchunks * q_chunk - qn
+    if pad:
+        cand_codes = jnp.pad(cand_codes, ((0, pad), (0, 0), (0, 0)))
+        lut_x = jnp.pad(lut_x, ((0, pad), (0, 0), (0, 0)))
+    cc = cand_codes.reshape(nchunks, q_chunk, c, m)
+    lc = lut_x.reshape(nchunks, q_chunk, m, ksub)
+    _, out = jax.lax.scan(lambda _, inp: (None, score(*inp)), None, (cc, lc))
+    return out.reshape(nchunks * q_chunk, c)[:qn]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "exact"))
 def _ivf_search_dev(
     q_probe: jnp.ndarray,
     q_score: jnp.ndarray,
@@ -131,11 +182,14 @@ def _ivf_search_dev(
     rowids: jnp.ndarray,
     k: int,
     nprobe: int,
+    exact: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One fused probe->gather->score->select program.
 
-    q_probe [Q, D] f32 ranks lists by <q, centroid>; q_score [Q, D] scores
-    candidates (original rows, or SQ8 int-valued rows for int8 lists).
+    q_probe [Q, D] f32 ranks lists by <q, centroid>; q_score scores
+    candidates: [Q, D] original rows (float lists), SQ8 int-valued rows
+    (int8 lists), or [Q, M, K] ADC tables (uint8 PQ-code lists — the
+    IVFPQ composition, scored by :func:`_adc_candidate_scores`).
     Returns (scores [Q, k] desc f32, global row ids [Q, k] int32, -1 pad).
     """
     qn = q_probe.shape[0]
@@ -150,7 +204,12 @@ def _ivf_search_dev(
     flat_probes = probes.reshape(-1)
     cand = jnp.take(lists, flat_probes, axis=0).reshape(qn, nprobe * cap, d)
     rid = jnp.take(rowids, flat_probes, axis=0).reshape(qn, nprobe * cap)
-    if lists.dtype == jnp.int8:
+    if lists.dtype == jnp.uint8:
+        # IVFPQ: d is the code width M, q_score the [Q, M, K] LUT
+        scores = _adc_candidate_scores(
+            cand, q_score, q_score.shape[-1], exact=exact
+        )
+    elif lists.dtype == jnp.int8:
         # SQ8: int-valued operands make the default-precision bf16 matmul
         # bit-exact integer arithmetic (ops/quant.py module docstring).
         scores = jnp.einsum(
@@ -189,6 +248,7 @@ class IVFIndex:
         *,
         storage_dtype: Optional[str] = None,
         quantizer: Optional[Int8Quantizer] = None,
+        codec: Optional[PQCodec] = None,
         stats: Optional[dict] = None,
     ):
         if lists.ndim != 3 or rowids.shape != lists.shape[:2]:
@@ -196,28 +256,40 @@ class IVFIndex:
                 f"lists [K, cap, D] + rowids [K, cap] expected, got "
                 f"{lists.shape} / {rowids.shape}"
             )
-        if centroids.shape != (lists.shape[0], lists.shape[2]):
-            raise ValueError("centroids must be [nlist, D]")
         if lists.dtype == np.int8 and quantizer is None:
             raise ValueError("int8 lists need their fitted Int8Quantizer")
+        if lists.dtype == np.uint8 and codec is None:
+            raise ValueError("PQ-code lists need their fitted PQCodec")
         if storage_dtype is None:
             # bfloat16 lists live as uint16 bit patterns on the host/disk
             # (numpy can't serialize ml_dtypes natively); viewed as bf16
-            # at device upload.
+            # at device upload. uint8 lists are PQ codes.
             storage_dtype = {
                 np.dtype(np.int8): "int8",
                 np.dtype(np.uint16): "bfloat16",
                 np.dtype(np.float32): "float32",
             }.get(lists.dtype)
+            if storage_dtype is None and lists.dtype == np.uint8:
+                storage_dtype = f"pq{codec.nbits}"
             if storage_dtype is None:
                 raise ValueError(f"cannot infer storage from {lists.dtype}")
-        if storage_dtype not in ("float32", "bfloat16", "int8"):
+        if storage_dtype not in ("float32", "bfloat16", "int8", "pq4", "pq8"):
             raise ValueError(f"unknown storage_dtype {storage_dtype!r}")
         self.storage_dtype = storage_dtype
+        is_pq = storage_dtype.startswith("pq")
+        dim = codec.dim if is_pq else lists.shape[2]
+        if centroids.shape != (lists.shape[0], dim):
+            raise ValueError(f"centroids must be [nlist, {dim}]")
+        if is_pq and lists.shape[2] != codec.m:
+            raise ValueError(
+                f"PQ lists must be [K, cap, {codec.m}] codes, got "
+                f"{lists.shape}"
+            )
         self.centroids = np.ascontiguousarray(centroids, np.float32)
         self.lists = lists
         self.rowids = np.ascontiguousarray(rowids, np.int32)
         self.quantizer = quantizer
+        self.codec = codec
         self.stats = dict(stats or {})
         self._dev: Optional[tuple] = None
 
@@ -232,7 +304,8 @@ class IVFIndex:
 
     @property
     def dim(self) -> int:
-        return self.lists.shape[2]
+        """Query/embedding dimensionality (PQ lists store M code bytes)."""
+        return self.codec.dim if self.codec is not None else self.lists.shape[2]
 
     @property
     def ntotal(self) -> int:
@@ -252,6 +325,7 @@ class IVFIndex:
         seed: int = 42,
         train_sample: Optional[int] = None,
         centroids: Optional[np.ndarray] = None,
+        pq_m: int = 96,
     ) -> "IVFIndex":
         """Cluster + pack ``embeddings`` [N, D] into an IVF index.
 
@@ -261,7 +335,8 @@ class IVFIndex:
         ``train_sample``: k-means training subsample cap (FAISS trains on
         ~256 points/centroid; None = train on everything). ``centroids``:
         skip training and use these (e.g. fitted on one block of a larger
-        corpus).
+        corpus). storage_dtype "pq4"/"pq8" packs PQ codes (``pq_m`` bytes
+        per row) instead of rows — the FAISS IVFPQ composition.
         """
         emb = np.asarray(embeddings)
         n, d = emb.shape
@@ -288,26 +363,38 @@ class IVFIndex:
         logger.info("ivf build: %s", stats)
 
         quantizer = None
+        codec = None
         if storage_dtype == "int8":
             quantizer = Int8Quantizer.fit(np.asarray(emb, np.float32))
             packed_src = quantize_passages(
                 np.asarray(emb, np.float32), quantizer.scales
             )
+        elif storage_dtype in ("pq4", "pq8"):
+            codec = PQCodec.fit(
+                np.asarray(emb, np.float32),
+                pq_m,
+                int(storage_dtype[2]),
+                iters=iters,
+                seed=seed,
+                sample_max=train_sample,
+            )
+            packed_src = codec.encode(np.asarray(emb, np.float32))
         else:
             packed_src = _pack_rows(emb, storage_dtype)
 
         n_sub = stats["n_sublists"]
-        flat = np.zeros((n_sub * cap, d), packed_src.dtype)
+        flat = np.zeros((n_sub * cap, packed_src.shape[1]), packed_src.dtype)
         flat_ids = np.full(n_sub * cap, -1, np.int32)
         pos = sub_id.astype(np.int64) * cap + slot
         flat[pos] = packed_src
         flat_ids[pos] = rowids
         return cls(
             centroids[owner],  # one (duplicated) centroid per sub-list
-            flat.reshape(n_sub, cap, d),
+            flat.reshape(n_sub, cap, packed_src.shape[1]),
             flat_ids.reshape(n_sub, cap),
             storage_dtype=storage_dtype,
             quantizer=quantizer,
+            codec=codec,
             stats=stats,
         )
 
@@ -323,6 +410,7 @@ class IVFIndex:
         seed: int = 42,
         train_sample: Optional[int] = None,
         max_blocks: Optional[int] = None,
+        pq_m: int = 96,
     ) -> "IVFIndex":
         """Build from on-disk embedding blocks (gen_passage_embeddings
         output), RAM-bounded: two streaming passes over the block files
@@ -335,14 +423,27 @@ class IVFIndex:
         payloads are each block's emb2offset values, so search returns
         token-cache offsets exactly like ``BlockedSearcher.search_blocks``.
         int8 block files reuse their ``int8_scales.npy`` sidecar (rows are
-        packed bit-identical, never re-quantized).
+        packed bit-identical, never re-quantized; "pq4"/"pq8" encode the
+        dequantized rows). For PQ storage the codec trains on an evenly
+        strided row sample accumulated across pass-1 blocks (bounded at
+        the training target, so RAM stays one block + the sample).
         """
         from convdr_tpu.retrieval.blocks import iter_embedding_blocks
 
-        if storage_dtype not in ("float32", "bfloat16", "int8"):
+        if storage_dtype not in (
+            "float32", "bfloat16", "int8", "pq4", "pq8"
+        ):
             raise ValueError(f"unknown storage_dtype {storage_dtype!r}")
+        is_pq = storage_dtype.startswith("pq")
+        pq_fit_target = (
+            (train_sample or 256 * (1 << int(storage_dtype[2])))
+            if is_pq else 0
+        )
         centroids = None
         quantizer = None
+        codec = None
+        pq_sample: list = []
+        pq_sample_rows = 0
         assigns: list = []
         offsets: list = []
         sizes: list = []
@@ -353,10 +454,10 @@ class IVFIndex:
                 sizes.append(0)
                 continue
             if emb.dtype == np.int8:
-                if storage_dtype != "int8":
+                if storage_dtype != "int8" and not is_pq:
                     raise ValueError(
-                        "int8 block files can only build an int8 index "
-                        "(the original float rows are gone)"
+                        "int8 block files can only build an int8 or PQ "
+                        "index (the original float rows are gone)"
                     )
                 if quantizer is None:
                     quantizer = Int8Quantizer.load(ann_data_dir)
@@ -370,6 +471,11 @@ class IVFIndex:
                 )
                 if storage_dtype == "int8" and quantizer is None:
                     quantizer = Int8Quantizer.fit(femb)
+            if is_pq and pq_sample_rows < pq_fit_target:
+                stride = max(1, femb.shape[0] // pq_fit_target)
+                take = femb[::stride][: pq_fit_target - pq_sample_rows]
+                pq_sample.append(np.array(take))
+                pq_sample_rows += take.shape[0]
             assigns.append(assign_top_t(femb, centroids, t=1)[:, 0])
             off = np.asarray(emb2offset, np.int64)
             if off.size and off.max() >= 2**31:
@@ -383,6 +489,16 @@ class IVFIndex:
             raise FileNotFoundError(
                 f"No embedding blocks found in {ann_data_dir}"
             )
+        if is_pq:
+            codec = PQCodec.fit(
+                np.concatenate(pq_sample),
+                pq_m,
+                int(storage_dtype[2]),
+                iters=iters,
+                seed=seed,
+                sample_max=train_sample,
+            )
+            del pq_sample
         assign = np.concatenate(assigns)
         del assigns
         n = assign.shape[0]
@@ -393,9 +509,10 @@ class IVFIndex:
         logger.info("ivf build: %s", stats)
 
         host_dtype = {
-            "float32": np.float32, "bfloat16": np.uint16, "int8": np.int8
+            "float32": np.float32, "bfloat16": np.uint16, "int8": np.int8,
+            "pq4": np.uint8, "pq8": np.uint8,
         }[storage_dtype]
-        d = centroids.shape[1]
+        d = pq_m if is_pq else centroids.shape[1]
         n_sub = stats["n_sublists"]
         flat = np.zeros((n_sub * cap, d), host_dtype)
         flat_ids = np.full(n_sub * cap, -1, np.int32)
@@ -409,7 +526,13 @@ class IVFIndex:
             bi += 1
             if emb.shape[0] == 0:
                 continue
-            if emb.dtype == np.int8:
+            if is_pq:
+                if emb.dtype == np.int8:
+                    femb = emb.astype(np.float32) * quantizer.scales[None, :]
+                else:
+                    femb = np.asarray(emb, np.float32)
+                packed = codec.encode(femb)
+            elif emb.dtype == np.int8:
                 packed = emb
             elif storage_dtype == "int8":
                 packed = quantize_passages(
@@ -433,6 +556,7 @@ class IVFIndex:
             flat_ids.reshape(n_sub, cap),
             storage_dtype=storage_dtype,
             quantizer=quantizer,
+            codec=codec,
             stats=stats,
         )
 
@@ -445,12 +569,14 @@ class IVFIndex:
                 "float32": jnp.float32,
                 "bfloat16": jnp.bfloat16,
                 "int8": jnp.int8,
+                "pq4": jnp.uint8,
+                "pq8": jnp.uint8,
             }[self.storage_dtype]
-            flat = self.lists.reshape(self.nlist * self.cap, self.dim)
+            flat = self.lists.reshape(self.nlist * self.cap, -1)
             if flat.dtype == np.uint16:  # bf16 bit patterns (zero-copy)
                 flat = flat.view(ml_dtypes.bfloat16)
             lists_dev = device_put_chunked(flat, dtype).reshape(
-                self.nlist, self.cap, self.dim
+                self.nlist, self.cap, self.lists.shape[2]
             )
             self._dev = (
                 jnp.asarray(self.centroids),
@@ -477,7 +603,12 @@ class IVFIndex:
         rowids = self.rowids
         if pad:
             lists = np.concatenate(
-                [lists, np.zeros((pad, self.cap, self.dim), lists.dtype)]
+                [
+                    lists,
+                    np.zeros(
+                        (pad, self.cap, lists.shape[2]), lists.dtype
+                    ),
+                ]
             )
             rowids = np.concatenate(
                 [rowids, np.full((pad, self.cap), -1, np.int32)]
@@ -489,6 +620,8 @@ class IVFIndex:
             "float32": jnp.float32,
             "bfloat16": jnp.bfloat16,
             "int8": jnp.int8,
+            "pq4": jnp.uint8,
+            "pq8": jnp.uint8,
         }[self.storage_dtype]
         self._dev_sharded = (
             jax.device_put(cent, shard),
@@ -508,6 +641,7 @@ class IVFIndex:
         max_candidate_bytes: int = 2 << 30,
         mesh=None,
         index_axis: str = "index",
+        exact: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """ANN top-k. Returns (scores [Q, k] desc f32, rowids [Q, k] int32).
 
@@ -516,6 +650,7 @@ class IVFIndex:
         With a ``mesh``, sub-lists shard over ``index_axis`` and each
         device probes its balanced share of ``nprobe``
         (:func:`convdr_tpu.parallel.sharded_search.sharded_ivf_topk`).
+        ``exact`` (PQ lists only): f32/HIGHEST ADC for oracle-parity tests.
         """
         q = np.asarray(queries, np.float32)
         if q.ndim != 2 or q.shape[1] != self.dim:
@@ -523,12 +658,15 @@ class IVFIndex:
         nprobe = max(1, min(nprobe, self.nlist))
         if self.storage_dtype == "int8":
             q_score, tq = self.quantizer.quantize_queries(q)
+        elif self.codec is not None:
+            q_score, tq = self.codec.lut(q), None  # [Q, M, K] ADC tables
         else:
             q_score, tq = q, None
-        itemsize = {"float32": 4, "bfloat16": 2, "int8": 1}[
-            self.storage_dtype
-        ]
-        per_query = nprobe * self.cap * self.dim * itemsize
+        itemsize = {
+            "float32": 4, "bfloat16": 2, "int8": 1, "pq4": 1, "pq8": 1,
+        }[self.storage_dtype]
+        width = self.lists.shape[2]
+        per_query = nprobe * self.cap * width * itemsize
         chunk = max(1, int(max_candidate_bytes // max(per_query, 1)))
         if mesh is not None:
             from convdr_tpu.parallel.sharded_search import sharded_ivf_topk
@@ -562,6 +700,7 @@ class IVFIndex:
                     rid_dev,
                     k,
                     nprobe,
+                    exact=exact,
                 )
             s, i = np.asarray(s), np.asarray(i)
             if tq is not None:
@@ -580,6 +719,8 @@ class IVFIndex:
         np.save(os.path.join(index_dir, "rowids.npy"), self.rowids)
         if self.quantizer is not None:
             self.quantizer.save(index_dir)
+        if self.codec is not None:
+            self.codec.save(index_dir)
         meta = {
             "nlist": self.nlist,
             "cap": self.cap,
@@ -605,5 +746,6 @@ class IVFIndex:
             np.load(os.path.join(index_dir, "rowids.npy")),
             storage_dtype=meta["storage_dtype"],
             quantizer=Int8Quantizer.load_optional(index_dir),
+            codec=PQCodec.load_optional(index_dir),
             stats=meta.get("stats"),
         )

@@ -171,3 +171,115 @@ def test_validation_errors(built):
         PQIndex(index.codec, index.codes, np.arange(3, dtype=np.int32))
     with pytest.raises(ValueError):
         index.search(np.zeros((2, 7), np.float32), 3)  # wrong dim
+
+
+# ---------------------------------------------------------------------------
+# IVFPQ composition (retrieval/ivf.py storage_dtype="pq4"/"pq8")
+# ---------------------------------------------------------------------------
+def test_ivfpq_full_probe_matches_adc_oracle():
+    from convdr_tpu.retrieval.ivf import IVFIndex
+
+    x = corpus(seed=21, n=600, d=32)
+    idx = IVFIndex.build(
+        x, nlist=6, storage_dtype="pq4", pq_m=8, iters=6, seed=0
+    )
+    assert idx.storage_dtype == "pq4" and idx.codec is not None
+    assert idx.lists.dtype == np.uint8 and idx.lists.shape[2] == 8
+    assert idx.dim == 32  # queries stay D-dimensional
+    queries = x[:6]
+    s, i = idx.search(queries, 7, nprobe=idx.nlist, exact=True)
+    codes = idx.codec.encode(x)
+    want_s, want_i = pq_adc_oracle(idx.codec.lut(queries), codes, 7)
+    np.testing.assert_allclose(np.sort(s, 1), np.sort(want_s, 1),
+                               rtol=1e-4, atol=1e-4)
+    for q in range(6):
+        assert set(i[q].tolist()) == set(want_i[q].tolist())
+
+
+def test_ivfpq_recall_on_clustered_corpus():
+    from convdr_tpu.ops.exact_search import topk_oracle
+    from convdr_tpu.retrieval.ivf import IVFIndex
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    centers = rng.standard_normal((12, 32), dtype=np.float32)
+    which = rng.integers(0, 12, size=1500)
+    x = centers[which] + 0.25 * rng.standard_normal(
+        (1500, 32), dtype=np.float32
+    )
+    idx = IVFIndex.build(
+        x, nlist=12, storage_dtype="pq8", pq_m=8, iters=8, seed=0
+    )
+    queries = x[:10] + 0.05 * rng.standard_normal((10, 32), dtype=np.float32)
+    _, want = topk_oracle(queries, x, 10)
+    _, got = idx.search(queries, 30, nprobe=4)
+    rec = np.mean([
+        len(set(got[q].tolist()) & set(want[q].tolist())) / 10.0
+        for q in range(10)
+    ])
+    assert rec >= 0.6, rec
+
+
+def test_ivfpq_save_load_roundtrip(tmp_path):
+    from convdr_tpu.retrieval.ivf import IVFIndex
+
+    x = corpus(seed=23, n=400, d=32)
+    idx = IVFIndex.build(
+        x, nlist=5, storage_dtype="pq4", pq_m=8, iters=5, seed=0
+    )
+    d = str(tmp_path / "ivfpq")
+    idx.save(d)
+    loaded = IVFIndex.load(d)
+    assert loaded.storage_dtype == "pq4"
+    assert loaded.codec is not None and loaded.codec.nbits == 4
+    q = x[:5]
+    s0, i0 = idx.search(q, 6, nprobe=3, exact=True)
+    s1, i1 = loaded.search(q, 6, nprobe=3, exact=True)
+    np.testing.assert_allclose(s0, s1)
+    np.testing.assert_array_equal(i0, i1)
+
+
+def test_ivfpq_build_from_blocks_and_int8_blocks(tmp_path):
+    from convdr_tpu.ops.quant import Int8Quantizer
+    from convdr_tpu.retrieval.blocks import write_embedding_block
+    from convdr_tpu.retrieval.ivf import IVFIndex
+
+    x = corpus(seed=25, n=500, d=32)
+    offsets = np.arange(500, dtype=np.int64) * 2 + 7
+    d = str(tmp_path / "blocks")
+    for b in range(2):
+        write_embedding_block(d, b, x[b::2], offsets[b::2])
+    idx = IVFIndex.build_from_blocks(
+        d, 6, storage_dtype="pq4", pq_m=8, iters=5, seed=0
+    )
+    assert idx.ntotal == 500 and idx.storage_dtype == "pq4"
+    _, ids = idx.search(x[:5], 3, nprobe=idx.nlist)
+    assert set(ids.ravel().tolist()) <= set(offsets.tolist())
+
+    # int8 blocks may build a PQ index (dequantized rows re-encode)
+    quant = Int8Quantizer.fit(x)
+    d8 = str(tmp_path / "blocks_i8")
+    for b in range(2):
+        write_embedding_block(
+            d8, b, quant.quantize_passages(x[b::2]), offsets[b::2]
+        )
+    quant.save(d8)
+    idx8 = IVFIndex.build_from_blocks(
+        d8, 6, storage_dtype="pq4", pq_m=8, iters=5, seed=0
+    )
+    assert idx8.ntotal == 500 and idx8.codec is not None
+
+
+def test_ivfpq_sharded_search_contract():
+    from convdr_tpu.retrieval.ivf import IVFIndex
+
+    x = corpus(seed=27, n=640, d=32)
+    idx = IVFIndex.build(
+        x, nlist=8, storage_dtype="pq4", pq_m=8, iters=5, seed=0
+    )
+    mesh = get_mesh(("index",))
+    q = x[:6]
+    s0, i0 = idx.search(q, 8, nprobe=idx.nlist)
+    s1, i1 = idx.search(q, 8, nprobe=idx.nlist, mesh=mesh)
+    # full probe on both paths: every row scored, result sets match
+    for r in range(6):
+        assert set(i0[r].tolist()) == set(i1[r].tolist())
