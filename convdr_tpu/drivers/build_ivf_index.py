@@ -73,6 +73,13 @@ def get_arguments(argv=None):
         "occupies ceil(l/cap) fixed-capacity sub-lists; smaller = finer "
         "probe granularity, more zero-pad rows)",
     )
+    parser.add_argument(
+        "--opq_iters", type=int, default=0,
+        help="PQ/pq4/pq8: alternating-optimization iterations for the OPQ "
+        "rotation (0 = plain PQ). ~10 lifts coarse-code recall at a "
+        "one-time training cost; search speed is unchanged (the rotation "
+        "folds into encode/query LUTs)",
+    )
     parser.add_argument("--kmeans_iters", type=int, default=20)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument(
@@ -100,6 +107,7 @@ def main(argv=None):
             seed=args.seed,
             train_sample=args.train_sample or None,
             max_blocks=args.max_blocks or None,
+            opq_iters=args.opq_iters,
         )
         index.save(args.index_dir)
         summary = {
@@ -107,6 +115,7 @@ def main(argv=None):
             "index_type": "pq",
             "m": index.codec.m,
             "nbits": index.codec.nbits,
+            "opq": index.codec.rotation is not None,
             "dim": index.dim,
             "ntotal": index.ntotal,
             "code_tensor_bytes": int(index.codes.nbytes),
@@ -126,6 +135,7 @@ def main(argv=None):
         train_sample=args.train_sample or None,
         max_blocks=args.max_blocks or None,
         pq_m=args.pq_m,
+        opq_iters=args.opq_iters,
     )
     index.save(args.index_dir)
     summary = {

@@ -165,34 +165,93 @@ def _split_empty_subspace(
 
 @functools.partial(jax.jit, static_argnames=("block_rows",))
 def _pq_assign_dev(
-    x: jnp.ndarray, c: jnp.ndarray, block_rows: int
+    x: jnp.ndarray, c: jnp.ndarray, block_rows: int, r=None
 ) -> jnp.ndarray:
-    """codes [M, N] int32: nearest centroid per subspace per row."""
-    m, n, dsub = x.shape
+    """codes [N, M] int32: nearest centroid per subspace per row.
+
+    x is the RAW [N, D] row block (any float dtype — rows upload in their
+    storage dtype and the subspace reshape happens here, on device: a
+    host-side [M, N, dsub] transpose measured minutes of copy + a >2 GB
+    single transfer, the tunnel's stall cliff, utils/transfer.py).
+    ``r`` (optional [D, D]) applies the OPQ rotation before the split.
+    """
+    n, d = x.shape
+    m, k, dsub = c.shape
     nblocks = -(-n // block_rows)
     pad = nblocks * block_rows - n
     if pad:
-        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        x = jnp.pad(x, ((0, pad), (0, 0)))
     chalf = 0.5 * jnp.sum(c * c, axis=-1)  # [M, K]
-    xb = x.reshape(m, nblocks, block_rows, dsub).transpose(1, 0, 2, 3)
+    xb = x.reshape(nblocks, block_rows, d)
 
     def step(_, blk):
+        blk = blk.astype(jnp.float32)
+        if r is not None:
+            blk = jnp.dot(
+                blk, r, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
         # HIGHEST: see _pq_lloyd_iter — thin-subspace score gaps sit
         # inside bf16 noise and mis-assignment costs recall directly.
         scores = (
             jnp.einsum(
-                "mbd,mkd->mbk",
-                blk,
+                "bmd,mkd->bmk",
+                blk.reshape(block_rows, m, dsub),
                 c,
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
-            - chalf[:, None, :]
+            - chalf[None, :, :]
         )
         return None, jnp.argmax(scores, axis=-1).astype(jnp.int32)
 
-    _, out = jax.lax.scan(step, None, xb)  # [nblocks, M, B]
-    return out.transpose(1, 0, 2).reshape(m, nblocks * block_rows)[:, :n]
+    _, out = jax.lax.scan(step, None, xb)  # [nblocks, B, M]
+    return out.reshape(nblocks * block_rows, m)[:n]
+
+
+def _fit_codebooks(
+    x: np.ndarray, m: int, k: int, iters: int, seed: int
+) -> np.ndarray:
+    """Lloyd loop over all M subspaces at once on ``x`` [N, D] (already
+    subsampled). Returns codebooks [M, K, dsub] f32."""
+    n, d = x.shape
+    dsub = d // m
+    rng = np.random.Generator(np.random.PCG64(seed))
+    xs = np.ascontiguousarray(
+        x.reshape(n, m, dsub).transpose(1, 0, 2)
+    )  # [M, N, dsub]
+    # init: a shared row subset, each subspace taking its slice (FAISS
+    # initializes each sub-quantizer from the same training pass)
+    c = xs[:, rng.choice(n, size=k, replace=False), :].copy()
+    block_rows = min(_fit_block_rows(m, k), n)
+    x_dev = jax.device_put(xs)
+    prev_obj = np.inf
+    for it in range(iters):
+        sums, counts, obj = _pq_lloyd_iter(x_dev, jnp.asarray(c), block_rows)
+        sums = np.asarray(sums)
+        counts = np.asarray(counts)
+        obj = float(obj)
+        nonzero = counts > 0
+        new_c = c.copy()
+        new_c[nonzero] = sums[nonzero] / counts[nonzero][:, None]
+        new_c, n_empty = _split_empty_subspace(new_c, counts)
+        logger.info(
+            "pq fit iter %d/%d: obj=%.4f empties=%d",
+            it + 1, iters, obj, n_empty,
+        )
+        c = new_c
+        if n_empty == 0 and abs(prev_obj - obj) <= 1e-7 * max(1.0, abs(obj)):
+            break
+        prev_obj = obj
+    return c.astype(np.float32)
+
+
+@jax.jit
+def _rotate_dev(x: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
+    return jnp.dot(
+        x, r, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 class PQCodec:
@@ -200,9 +259,19 @@ class PQCodec:
 
     codebooks [M, K, dsub] float32, D = M * dsub, K = 2**nbits. Codes are
     stored unpacked as uint8 [N, M] (nbits=4 values occupy 0..15).
+    ``rotation`` (optional, [D, D] orthogonal) is an OPQ transform: rows
+    encode as ``x @ R`` and query LUTs build from ``q @ R``; orthogonality
+    keeps rotated inner products equal to the originals, so ADC scores
+    still approximate true IPs while the subspace split aligns with the
+    data's principal structure (Ge et al., OPQ; FAISS ``OPQMatrix``).
     """
 
-    def __init__(self, codebooks: np.ndarray, nbits: int):
+    def __init__(
+        self,
+        codebooks: np.ndarray,
+        nbits: int,
+        rotation: Optional[np.ndarray] = None,
+    ):
         cb = np.asarray(codebooks, np.float32)
         if cb.ndim != 3:
             raise ValueError(f"codebooks must be [M, K, dsub], got {cb.shape}")
@@ -215,6 +284,12 @@ class PQCodec:
             )
         self.codebooks = cb
         self.nbits = int(nbits)
+        d = cb.shape[0] * cb.shape[2]
+        if rotation is not None:
+            rotation = np.asarray(rotation, np.float32)
+            if rotation.shape != (d, d):
+                raise ValueError(f"rotation must be [{d}, {d}]")
+        self.rotation = rotation
 
     # -- geometry -------------------------------------------------------
     @property
@@ -248,6 +323,7 @@ class PQCodec:
         iters: int = 20,
         seed: int = 42,
         sample_max: Optional[int] = None,
+        opq_iters: int = 0,
     ) -> "PQCodec":
         """Train M subspace codebooks on ``sample`` [N, D].
 
@@ -255,6 +331,14 @@ class PQCodec:
         rows per centroid; None = that default, ``256 * 2**nbits``).
         All M k-means problems iterate together in one batched device
         program.
+
+        ``opq_iters`` > 0 also learns an OPQ rotation by alternating
+        optimization (Ge et al. non-parametric OPQ; FAISS ``OPQMatrix``):
+        fit codebooks on the rotated sample, reconstruct, solve the
+        orthogonal Procrustes problem ``min_R |XR - X_hat|`` via SVD of
+        ``X^T X_hat`` (both matmuls on device — the 768-wide products are
+        minutes on a 1-core host, milliseconds on the MXU), re-rotate,
+        repeat; a final full-depth fit runs on the converged rotation.
         """
         x = np.asarray(sample, np.float32)
         if x.ndim != 2 or x.shape[0] < (1 << nbits):
@@ -271,68 +355,79 @@ class PQCodec:
         if n > sample_max:
             x = x[rng.choice(n, size=sample_max, replace=False)]
             n = sample_max
-        dsub = d // m
-        xs = np.ascontiguousarray(
-            x.reshape(n, m, dsub).transpose(1, 0, 2)
-        )  # [M, N, dsub]
-        # init: a shared row subset, each subspace taking its slice (FAISS
-        # initializes each sub-quantizer from the same training pass)
-        c = xs[:, rng.choice(n, size=k, replace=False), :].copy()
-        block_rows = min(_fit_block_rows(m, k), n)
-        x_dev = jax.device_put(xs)
-        prev_obj = np.inf
-        for it in range(iters):
-            sums, counts, obj = _pq_lloyd_iter(
-                x_dev, jnp.asarray(c), block_rows
+
+        if not opq_iters:
+            return cls(_fit_codebooks(x, m, k, iters, seed), nbits)
+
+        rotation = np.eye(d, dtype=np.float32)
+        inner = max(4, iters // 4)
+        for t in range(opq_iters):
+            xr = np.asarray(_rotate_dev(jnp.asarray(x), jnp.asarray(rotation)))
+            codec = cls(_fit_codebooks(xr, m, k, inner, seed), nbits)
+            xhat = codec.decode(codec.encode(xr))  # rotated-space recon
+            # Procrustes: R = U V^T of X^T X_hat (on device)
+            cov = np.asarray(
+                _rotate_dev(jnp.asarray(x.T), jnp.asarray(xhat))
+            )  # [D, D]
+            u, _, vt = np.linalg.svd(cov)
+            rotation = np.ascontiguousarray(
+                (u @ vt).astype(np.float32)
             )
-            sums = np.asarray(sums)
-            counts = np.asarray(counts)
-            obj = float(obj)
-            nonzero = counts > 0
-            new_c = c.copy()
-            new_c[nonzero] = sums[nonzero] / counts[nonzero][:, None]
-            new_c, n_empty = _split_empty_subspace(new_c, counts)
+            err = float(((xr - xhat) ** 2).mean())
             logger.info(
-                "pq fit iter %d/%d: obj=%.4f empties=%d",
-                it + 1, iters, obj, n_empty,
+                "opq iter %d/%d: recon_mse=%.6f", t + 1, opq_iters, err
             )
-            c = new_c
-            if n_empty == 0 and abs(prev_obj - obj) <= 1e-7 * max(
-                1.0, abs(obj)
-            ):
-                break
-            prev_obj = obj
-        return cls(c.astype(np.float32), nbits)
+        xr = np.asarray(_rotate_dev(jnp.asarray(x), jnp.asarray(rotation)))
+        return cls(_fit_codebooks(xr, m, k, iters, seed), nbits, rotation)
 
     # -- encode / decode --------------------------------------------------
     def encode(self, emb: np.ndarray) -> np.ndarray:
-        """[N, D] float -> codes [N, M] uint8 (blocked batched assignment)."""
-        x = np.asarray(emb, np.float32)
+        """[N, D] float -> codes [N, M] uint8 (blocked batched assignment).
+
+        Rows upload chunked in their own dtype (bf16 inputs ride the wire
+        at half the bytes; the assignment einsum runs f32/HIGHEST either
+        way — input rounding is part of the vector being encoded, not an
+        arithmetic error) and the subspace split happens on device.
+        """
+        from convdr_tpu.utils.transfer import device_put_chunked
+
+        x = np.asarray(emb)
         if x.ndim != 2 or x.shape[1] != self.dim:
             raise ValueError(f"embeddings must be [N, {self.dim}]")
         n = x.shape[0]
         if n == 0:
             return np.zeros((0, self.m), np.uint8)
+        import ml_dtypes
+
+        if x.dtype == np.uint16:  # bf16 bit patterns (block-file layout)
+            x = x.view(ml_dtypes.bfloat16)
+        elif x.dtype not in (
+            np.dtype(np.float32), np.dtype(ml_dtypes.bfloat16)
+        ):
+            x = x.astype(np.float32)
         out = np.empty((n, self.m), np.uint8)
         c_dev = jnp.asarray(self.codebooks)
+        r_dev = (
+            jnp.asarray(self.rotation) if self.rotation is not None else None
+        )
         # ~16 scan blocks per dispatch amortizes the tunnel RTT
         host_chunk = max(1, 16 * _fit_block_rows(self.m, self.ksub))
         for lo in range(0, n, host_chunk):
             hi = min(n, lo + host_chunk)
-            xs = np.ascontiguousarray(
-                x[lo:hi].reshape(hi - lo, self.m, self.dsub).transpose(1, 0, 2)
-            )
             codes = _pq_assign_dev(
-                jnp.asarray(xs),
+                device_put_chunked(x[lo:hi]),
                 c_dev,
                 min(_fit_block_rows(self.m, self.ksub), hi - lo),
+                r_dev,
             )
-            out[lo:hi] = np.asarray(codes).T
+            out[lo:hi] = np.asarray(codes)
         return out
 
     def decode(self, codes: np.ndarray) -> np.ndarray:
         """codes [N, M] -> reconstructed [N, D] float32 (host-side; used
-        for tests and quality accounting, not the search path)."""
+        for tests and quality accounting, not the search path). With an
+        OPQ rotation the reconstruction is de-rotated back to the
+        original space."""
         codes = np.asarray(codes)
         if codes.ndim != 2 or codes.shape[1] != self.m:
             raise ValueError(f"codes must be [N, {self.m}]")
@@ -341,13 +436,22 @@ class PQCodec:
             out[:, mi * self.dsub : (mi + 1) * self.dsub] = self.codebooks[
                 mi, codes[:, mi].astype(np.int64)
             ]
+        if self.rotation is not None:
+            out = out @ self.rotation.T
         return out
 
     def lut(self, queries: np.ndarray) -> np.ndarray:
-        """Per-query ADC tables [Q, M, K] f32: lut[q,m,k] = <q_m, c_mk>."""
+        """Per-query ADC tables [Q, M, K] f32: lut[q,m,k] = <q_m, c_mk>.
+
+        With an OPQ rotation queries rotate first; orthogonality keeps
+        ``<xR, qR> == <x, q>``, so ADC scores approximate ORIGINAL inner
+        products either way.
+        """
         q = np.asarray(queries, np.float32)
         if q.ndim != 2 or q.shape[1] != self.dim:
             raise ValueError(f"queries must be [Q, {self.dim}]")
+        if self.rotation is not None:
+            q = q @ self.rotation
         qs = q.reshape(q.shape[0], self.m, self.dsub)
         return np.einsum(
             "qmd,mkd->qmk", qs, self.codebooks, dtype=np.float32
@@ -357,7 +461,10 @@ class PQCodec:
     def save(self, data_dir: str) -> str:
         os.makedirs(data_dir, exist_ok=True)
         path = os.path.join(data_dir, PQ_META_FILENAME)
-        np.savez(path, codebooks=self.codebooks, nbits=self.nbits)
+        extra = (
+            {"rotation": self.rotation} if self.rotation is not None else {}
+        )
+        np.savez(path, codebooks=self.codebooks, nbits=self.nbits, **extra)
         return path
 
     @classmethod
@@ -366,7 +473,11 @@ class PQCodec:
         if not os.path.exists(path):
             raise FileNotFoundError(f"no PQ codebooks at {path}")
         with np.load(path) as z:
-            return cls(z["codebooks"], int(z["nbits"]))
+            return cls(
+                z["codebooks"],
+                int(z["nbits"]),
+                z["rotation"] if "rotation" in z.files else None,
+            )
 
     @classmethod
     def load_optional(cls, data_dir: str) -> Optional["PQCodec"]:

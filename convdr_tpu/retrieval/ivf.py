@@ -326,6 +326,7 @@ class IVFIndex:
         train_sample: Optional[int] = None,
         centroids: Optional[np.ndarray] = None,
         pq_m: int = 96,
+        opq_iters: int = 0,
     ) -> "IVFIndex":
         """Cluster + pack ``embeddings`` [N, D] into an IVF index.
 
@@ -377,6 +378,7 @@ class IVFIndex:
                 iters=iters,
                 seed=seed,
                 sample_max=train_sample,
+                opq_iters=opq_iters,
             )
             packed_src = codec.encode(np.asarray(emb, np.float32))
         else:
@@ -411,6 +413,7 @@ class IVFIndex:
         train_sample: Optional[int] = None,
         max_blocks: Optional[int] = None,
         pq_m: int = 96,
+        opq_iters: int = 0,
     ) -> "IVFIndex":
         """Build from on-disk embedding blocks (gen_passage_embeddings
         output), RAM-bounded: two streaming passes over the block files
@@ -497,6 +500,7 @@ class IVFIndex:
                 iters=iters,
                 seed=seed,
                 sample_max=train_sample,
+                opq_iters=opq_iters,
             )
             del pq_sample
         assign = np.concatenate(assigns)
@@ -530,7 +534,7 @@ class IVFIndex:
                 if emb.dtype == np.int8:
                     femb = emb.astype(np.float32) * quantizer.scales[None, :]
                 else:
-                    femb = np.asarray(emb, np.float32)
+                    femb = emb  # raw rows; encode() handles bf16/uint16
                 packed = codec.encode(femb)
             elif emb.dtype == np.int8:
                 packed = emb

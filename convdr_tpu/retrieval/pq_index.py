@@ -98,15 +98,17 @@ class PQIndex:
         seed: int = 42,
         train_sample: Optional[int] = None,
         codec: Optional[PQCodec] = None,
+        opq_iters: int = 0,
     ) -> "PQIndex":
         """Fit a codec on ``embeddings`` [N, D] (or reuse ``codec``) and
         encode every row. ``train_sample`` caps the codebook training set
-        (None = FAISS's ~256 rows per centroid)."""
+        (None = FAISS's ~256 rows per centroid); ``opq_iters`` > 0 also
+        learns the OPQ rotation (ops/pq.py)."""
         emb = np.asarray(embeddings, np.float32)
         if codec is None:
             codec = PQCodec.fit(
                 emb, m, nbits, iters=iters, seed=seed,
-                sample_max=train_sample,
+                sample_max=train_sample, opq_iters=opq_iters,
             )
         codes = codec.encode(emb)
         return cls(codec, codes, rowids, stats={"block_sizes": [len(emb)]})
@@ -122,6 +124,7 @@ class PQIndex:
         seed: int = 42,
         train_sample: Optional[int] = None,
         max_blocks: Optional[int] = None,
+        opq_iters: int = 0,
     ) -> "PQIndex":
         """Build from on-disk embedding blocks (gen_passage_embeddings
         output) in ONE streaming pass, RAM-bounded to max(one float block,
@@ -161,6 +164,10 @@ class PQIndex:
                 if quantizer is None:
                     quantizer = Int8Quantizer.load(ann_data_dir)
                 femb = emb.astype(np.float32) * quantizer.scales[None, :]
+            elif codec is not None:
+                # post-fit: encode the raw rows (bf16 blocks ride the
+                # wire at half the f32 bytes; encode() handles dtypes)
+                femb = emb
             else:
                 femb = np.asarray(emb, np.float32)
             off = np.asarray(emb2offset, np.int64)
@@ -176,7 +183,7 @@ class PQIndex:
                         np.concatenate(pending) if len(pending) > 1
                         else pending[0],
                         m, nbits, iters=iters, seed=seed,
-                        sample_max=train_sample,
+                        sample_max=train_sample, opq_iters=opq_iters,
                     )
                     flush(pending)
                     pending = []
@@ -190,6 +197,7 @@ class PQIndex:
             codec = PQCodec.fit(
                 np.concatenate(pending) if len(pending) > 1 else pending[0],
                 m, nbits, iters=iters, seed=seed, sample_max=train_sample,
+                opq_iters=opq_iters,
             )
             flush(pending)
         if codec is None:

@@ -72,6 +72,7 @@ def main():
     ap.add_argument("--m", type=int, default=96)
     ap.add_argument("--nbits", type=int, default=4, choices=[4, 8])
     ap.add_argument("--kmeans_iters", type=int, default=15)
+    ap.add_argument("--opq_iters", type=int, default=0)
     ap.add_argument("--train_sample", type=int, default=0,
                     help="0 = FAISS default (256 per centroid)")
     ap.add_argument("--qs", default="16,64,512")
@@ -140,7 +141,7 @@ def main():
     t0 = time.perf_counter()
     codec = PQCodec.fit(
         corpus, args.m, args.nbits, iters=args.kmeans_iters, seed=0,
-        sample_max=args.train_sample or None,
+        sample_max=args.train_sample or None, opq_iters=args.opq_iters,
     )
     fit_s = time.perf_counter() - t0
     t0 = time.perf_counter()
@@ -151,7 +152,8 @@ def main():
     cb_dev = jnp.asarray(codec.codebooks)
     print(json.dumps({
         "bench": "pq_build", "n_rows": args.n_rows, "m": args.m,
-        "nbits": args.nbits, "fit_s": round(fit_s, 1),
+        "nbits": args.nbits, "opq": bool(args.opq_iters),
+        "fit_s": round(fit_s, 1),
         "encode_s": round(encode_s, 1),
         "code_bytes": int(codes.nbytes),
         "code_gb_per_38m": round(38_000_000 * args.m / 2**30, 2),
@@ -189,7 +191,8 @@ def main():
                 dt = timed_loop(body, args.iters, qq, codes_dev, cb_dev)
             print(json.dumps({
                 "bench": "pq", "n_rows": args.n_rows, "m": args.m,
-                "nbits": args.nbits, "Q": q_n, "k_cand": k_cand,
+                "nbits": args.nbits, "opq": bool(args.opq_iters),
+                "Q": q_n, "k_cand": k_cand,
                 "recall_exact_top100": round(rec, 4),
                 **({"ms_per_batch": round(dt * 1e3, 3),
                     "qps": round(q_n / dt, 1)} if k_cand == TOP_K else {}),

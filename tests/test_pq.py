@@ -203,3 +203,56 @@ def test_pq8_recall_against_float_search():
 
     assert overlap(10) >= 0.35
     assert overlap(50) >= 0.85  # rescore_factor=5 recovers exact ranking
+
+
+# ---------------------------------------------------------------------------
+# OPQ rotation
+# ---------------------------------------------------------------------------
+def correlated(rng, n=2000, d=32):
+    # strongly anisotropic data: raw subspace splits cut across the
+    # principal axes, the OPQ rotation re-aligns them
+    z = rng.randn(n, d).astype(np.float32)
+    mix = rng.randn(d, d).astype(np.float32)
+    scales = np.logspace(0, -1.5, d).astype(np.float32)
+    return (z * scales[None, :]) @ mix
+
+
+def test_opq_reduces_reconstruction_error():
+    rng = np.random.RandomState(31)
+    x = correlated(rng)
+    plain = PQCodec.fit(x, m=8, nbits=4, iters=10, seed=3)
+    opq = PQCodec.fit(x, m=8, nbits=4, iters=10, seed=3, opq_iters=8)
+    assert opq.rotation is not None
+    # orthogonality
+    np.testing.assert_allclose(
+        opq.rotation @ opq.rotation.T, np.eye(32), atol=1e-4
+    )
+    mse_plain = ((plain.decode(plain.encode(x)) - x) ** 2).mean()
+    mse_opq = ((opq.decode(opq.encode(x)) - x) ** 2).mean()
+    assert mse_opq < 0.9 * mse_plain, (mse_opq, mse_plain)
+
+
+def test_opq_scores_approximate_original_ips():
+    # <xR, qR> == <x, q>: ADC scores approximate ORIGINAL inner products
+    rng = np.random.RandomState(33)
+    x = correlated(rng, n=1500)
+    q = correlated(rng, n=6)
+    codec = PQCodec.fit(x, m=8, nbits=8, iters=8, seed=1, opq_iters=5)
+    codes = codec.encode(x)
+    lut = codec.lut(q)
+    s, i = pq_adc_oracle(lut, codes, 5)
+    true = q @ x.T
+    got_true = np.take_along_axis(true, i.astype(np.int64), axis=1)
+    err = np.abs(s - got_true) / (np.abs(true).max() + 1e-9)
+    assert err.max() < 0.25, err.max()
+
+
+def test_opq_persistence_roundtrip(tmp_path):
+    rng = np.random.RandomState(35)
+    x = correlated(rng, n=800)
+    codec = PQCodec.fit(x, m=8, nbits=4, iters=6, seed=2, opq_iters=4)
+    codec.save(str(tmp_path))
+    loaded = PQCodec.load(str(tmp_path))
+    np.testing.assert_array_equal(loaded.rotation, codec.rotation)
+    np.testing.assert_array_equal(loaded.encode(x[:64]), codec.encode(x[:64]))
+    np.testing.assert_allclose(loaded.lut(x[:4]), codec.lut(x[:4]))
