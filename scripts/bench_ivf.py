@@ -68,7 +68,11 @@ def main():
     ap.add_argument("--n_rows", type=int, default=1_000_000)
     ap.add_argument("--nlist", type=int, default=4096)
     ap.add_argument("--storage_dtype", default="int8",
-                    choices=["float32", "bfloat16", "int8"])
+                    choices=["float32", "bfloat16", "int8", "pq4", "pq8"])
+    ap.add_argument("--pq_m", type=int, default=96,
+                    help="PQ code bytes per row (pq4/pq8 lists)")
+    ap.add_argument("--opq_iters", type=int, default=0,
+                    help="OPQ rotation refinement iters (pq4/pq8 lists)")
     ap.add_argument("--slack", type=float, default=1.25)
     ap.add_argument("--kmeans_iters", type=int, default=15)
     ap.add_argument("--train_sample", type=int, default=262144)
@@ -149,6 +153,8 @@ def main():
         iters=args.kmeans_iters,
         seed=0,
         train_sample=args.train_sample,
+        pq_m=args.pq_m,
+        opq_iters=args.opq_iters,
     )
     build_s = time.perf_counter() - t0
     del p_dev
@@ -162,6 +168,8 @@ def main():
 
     if args.storage_dtype == "int8":
         q_score_all, _tq = index.quantizer.quantize_queries(queries)
+    elif args.storage_dtype.startswith("pq"):
+        q_score_all = index.codec.lut(queries)  # [Q, M, K] ADC tables
     else:
         q_score_all = queries
     q_score_all = jnp.asarray(q_score_all)
@@ -171,10 +179,11 @@ def main():
         qq_probe = flat_q[:q_n]
         qq_score = q_score_all[:q_n]
         for nprobe in nprobes:
-            cand_bytes = (
-                q_n * nprobe * index.cap * DIM
-                * {"float32": 4, "bfloat16": 2, "int8": 1}[args.storage_dtype]
-            )
+            row_bytes = {
+                "float32": 4 * DIM, "bfloat16": 2 * DIM, "int8": DIM,
+                "pq4": args.pq_m, "pq8": args.pq_m,
+            }[args.storage_dtype]
+            cand_bytes = q_n * nprobe * index.cap * row_bytes
             if cand_bytes > (6 << 30):
                 print(json.dumps({
                     "bench": "ivf", "n_rows": args.n_rows, "Q": q_n,
