@@ -80,6 +80,12 @@ def get_arguments(argv=None):
         "one-time training cost; search speed is unchanged (the rotation "
         "folds into encode/query LUTs)",
     )
+    parser.add_argument(
+        "--pack_codes", action="store_true",
+        help="PQ nbits=4 only: store codes 2-per-byte (half the HBM/disk "
+        "— 38M rows at m=96 drop 3.4 -> 1.7 GB; the nibble unpack fuses "
+        "into the ADC kernel, FAISS's packed-pq4 layout)",
+    )
     parser.add_argument("--kmeans_iters", type=int, default=20)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument(
@@ -98,6 +104,10 @@ def main(argv=None):
         level=logging.INFO,
     )
     args = get_arguments(argv)
+    if args.pack_codes and (args.index_type != "pq" or args.pq_nbits != 4):
+        raise SystemExit(
+            "--pack_codes applies to --index_type pq --pq_nbits 4 only"
+        )
     if args.index_type == "pq":
         index = PQIndex.build_from_blocks(
             args.ann_data_dir,
@@ -108,6 +118,7 @@ def main(argv=None):
             train_sample=args.train_sample or None,
             max_blocks=args.max_blocks or None,
             opq_iters=args.opq_iters,
+            pack=args.pack_codes,
         )
         index.save(args.index_dir)
         summary = {
@@ -116,6 +127,7 @@ def main(argv=None):
             "m": index.codec.m,
             "nbits": index.codec.nbits,
             "opq": index.codec.rotation is not None,
+            "packed": index.packed,
             "dim": index.dim,
             "ntotal": index.ntotal,
             "code_tensor_bytes": int(index.codes.nbytes),

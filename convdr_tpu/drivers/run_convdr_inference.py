@@ -84,12 +84,16 @@ def get_arguments(argv=None):
     )
     parser.add_argument(
         "--rescore_factor", default=0, type=int,
-        help="int8/PQ: re-rank the top (rescore_factor * top_n) "
-        "quantized candidates with full-precision host-side scores before "
-        "the final cut (FAISS IndexRefineFlat's k_factor). Needs FLOAT "
-        "block files (int8: searched under --storage_dtype int8; PQ: one "
-        "streaming pass over --ann_data_dir refines --pq_dir's ADC "
-        "candidates). int8: 2 recovers f32-grade ranking; 0 = off",
+        help="re-rank the top (rescore_factor * top_n) approximate "
+        "candidates with full-precision scores before the final cut "
+        "(FAISS IndexRefineFlat's k_factor). Works with --storage_dtype "
+        "int8 (float block files required; 2 recovers f32-grade ranking), "
+        "--pq_dir, and --ivf_dir (one streaming pass over --ann_data_dir "
+        "refines the quantized candidates — for PQ-coded lists this is "
+        "THE recall-recovery lever: ADC recall is codec-capped and more "
+        "probes cannot raise it, see --nprobe). 0 = off. Errors when "
+        "combined with plain float32/bfloat16 flat search (nothing to "
+        "refine — exact already)",
     )
     parser.add_argument(
         "--matmul_precision", default="highest",
@@ -125,8 +129,14 @@ def get_arguments(argv=None):
     )
     parser.add_argument(
         "--nprobe", type=int, default=32,
-        help="IVF only: lists probed per query (recall knob; "
-        "nprobe == nlist is exhaustive)",
+        help="IVF only: sub-lists probed per query. For float/int8 lists "
+        "this is the recall knob (nprobe == nlist is exhaustive). For "
+        "PQ-coded lists (--index_type ivfpq builds) recall is CODEC-"
+        "capped: measured at 1M rows, raising nprobe CONVERGES recall "
+        "DOWN toward the flat-ADC figure (0.62@8 -> 0.55@64 at Q=16) "
+        "because extra probes only add codec-ranked candidates — keep "
+        "nprobe small (~8) and recover recall with --rescore_factor "
+        "instead (PARITY.md 'PQ / IVFPQ')",
     )
     parser.add_argument(
         "--pq_dir", type=str, default="",
@@ -240,6 +250,16 @@ def main(argv=None):
 
     if args.ivf_dir and args.pq_dir:
         raise SystemExit("--ivf_dir and --pq_dir are mutually exclusive")
+    if (
+        args.rescore_factor > 0
+        and not (args.ivf_dir or args.pq_dir)
+        and args.storage_dtype != "int8"
+    ):
+        raise SystemExit(
+            "--rescore_factor refines approximate candidates; the "
+            f"float {args.storage_dtype} flat search is already exact. "
+            "Combine it with --storage_dtype int8, --pq_dir, or --ivf_dir"
+        )
     if args.pq_dir:
         from convdr_tpu.retrieval.pq_index import PQIndex
 
@@ -262,6 +282,7 @@ def main(argv=None):
                     index._device_codes(),
                     args.rescore_factor * args.top_n,
                     index.codec.ksub,
+                    packed=index.packed,
                 )
                 scores, offsets = index.rescore_block_pass(
                     args.ann_data_dir, query_embs, np.asarray(pos),
@@ -276,14 +297,28 @@ def main(argv=None):
 
         index = IVFIndex.load(args.ivf_dir)
         logger.info(
-            "IVF search: nlist=%d cap=%d ntotal=%d nprobe=%d",
+            "IVF search: nlist=%d cap=%d ntotal=%d nprobe=%d "
+            "rescore_factor=%d",
             index.nlist, index.cap, index.ntotal, args.nprobe,
+            args.rescore_factor,
         )
         with PhaseTimer("search"), profile_trace(args.profile_dir):
             # rowids were packed from emb2offset, so these ARE offsets
-            scores, offsets = index.search(
-                query_embs, args.top_n, nprobe=args.nprobe, mesh=mesh
-            )
+            if args.rescore_factor > 0:
+                # quantized probe proposes, one streaming block pass
+                # refines (FAISS IndexIVFPQ + IndexRefineFlat — the
+                # recall-recovery lever for codec-capped PQ lists)
+                _s, cand = index.search(
+                    query_embs, args.rescore_factor * args.top_n,
+                    nprobe=args.nprobe, mesh=mesh,
+                )
+                scores, offsets = index.rescore_block_pass(
+                    args.ann_data_dir, query_embs, cand, args.top_n
+                )
+            else:
+                scores, offsets = index.search(
+                    query_embs, args.top_n, nprobe=args.nprobe, mesh=mesh
+                )
     else:
         searcher = BlockedSearcher(
             SearchConfig(

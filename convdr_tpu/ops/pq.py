@@ -488,6 +488,50 @@ class PQCodec:
 
 
 # ---------------------------------------------------------------------------
+# 4-bit code packing
+# ---------------------------------------------------------------------------
+def pack_codes_4bit(codes: np.ndarray) -> np.ndarray:
+    """[N, M] uint8 nibble values (0..15) -> [N, M/2] packed bytes.
+
+    Byte j holds subspaces (2j, 2j+1): ``codes[:, 2j] | codes[:, 2j+1]
+    << 4`` (FAISS packs pq4 the same low-nibble-first way). Halves code
+    HBM/disk at the capacity-motivated operating point — 38M rows at
+    m=96/nbits=4 drop from 3.4 GB to 1.7 GB resident; the matching
+    in-kernel unpack (:func:`unpack_codes_4bit_dev`) is two VPU
+    elementwise ops that fuse into the ADC one-hot.
+    """
+    codes = np.asarray(codes)
+    if codes.dtype != np.uint8 or codes.ndim != 2:
+        raise ValueError(f"codes must be uint8 [N, M], got {codes.dtype}")
+    if codes.shape[1] % 2:
+        raise ValueError(f"m={codes.shape[1]} must be even to pack")
+    if codes.max(initial=0) > 15:
+        raise ValueError("codes exceed 4 bits; packing is nbits=4 only")
+    return (codes[:, 0::2] | (codes[:, 1::2] << 4)).astype(np.uint8)
+
+
+def unpack_codes_4bit(packed: np.ndarray) -> np.ndarray:
+    """Host inverse of :func:`pack_codes_4bit`: [N, M/2] -> [N, M]."""
+    packed = np.asarray(packed, np.uint8)
+    out = np.empty((packed.shape[0], packed.shape[1] * 2), np.uint8)
+    out[:, 0::2] = packed & 0xF
+    out[:, 1::2] = packed >> 4
+    return out
+
+
+def unpack_codes_4bit_dev(packed: jnp.ndarray) -> jnp.ndarray:
+    """Device unpack [..., M/2] -> [..., M]; fuses into the consumer
+    (shift/mask/interleave are elementwise — XLA folds them into the
+    one-hot expansion, so packed codes never materialize unpacked in
+    HBM)."""
+    lo = packed & jnp.uint8(0xF)
+    hi = packed >> jnp.uint8(4)
+    return jnp.stack([lo, hi], axis=-1).reshape(
+        *packed.shape[:-1], packed.shape[-1] * 2
+    )
+
+
+# ---------------------------------------------------------------------------
 # ADC search
 # ---------------------------------------------------------------------------
 def pq_adc_oracle(
@@ -544,7 +588,8 @@ def _adc_block_rows(m: int, ksub: int, requested: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "ksub", "block_rows", "exact", "group")
+    jax.jit,
+    static_argnames=("k", "ksub", "block_rows", "exact", "group", "packed"),
 )
 def pq_flat_topk(
     lut: jnp.ndarray,
@@ -556,12 +601,15 @@ def pq_flat_topk(
     valid_rows=-1,
     exact: bool = False,
     group: int = 32,
+    packed: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Flat ADC top-k over PQ codes: scan row blocks, ADC matmul per block.
 
     lut   [Q, M, K] f32 per-query tables (:meth:`PQCodec.lut`);
     codes [N, M] uint8 (device-resident — 48-96 B/row is the whole point:
-          38M rows fit HBM where no float representation does);
+          38M rows fit HBM where no float representation does), or
+          [N, M/2] packed nibbles with ``packed=True`` (nbits=4 codes at
+          half the HBM; :func:`unpack_codes_4bit_dev` fuses in-kernel);
     valid_rows: logical corpus size if codes are padded (-1 = N).
     ``exact`` keeps LUT entries f32 through the matmul (HIGHEST; tests).
 
@@ -571,10 +619,13 @@ def pq_flat_topk(
     """
     qn, m, k_tab = lut.shape
     n = codes.shape[0]
-    if k_tab != ksub or codes.shape[1] != m:
+    code_width = m // 2 if packed else m
+    if packed and ksub != 16:
+        raise ValueError("packed codes are nbits=4 only (ksub=16)")
+    if k_tab != ksub or codes.shape[1] != code_width:
         raise ValueError(
-            f"lut [Q, M, K]={lut.shape} vs codes [N, M]={codes.shape} "
-            f"with ksub={ksub}"
+            f"lut [Q, M, K]={lut.shape} vs codes [N, {code_width}]="
+            f"{codes.shape} with ksub={ksub}, packed={packed}"
         )
     precision = jax.lax.Precision.HIGHEST if exact else None
     lut_flat = lut.reshape(qn, m * ksub)
@@ -598,6 +649,8 @@ def pq_flat_topk(
             valid = jnp.asarray(n)
 
     def block_topk(block, base):
+        if packed:
+            block = unpack_codes_4bit_dev(block)
         scores = adc_block_scores(lut_flat, block, ksub, precision)
         block_valid = None if valid is None else valid - base
         blk_s, blk_i = _chunked_topk(
@@ -639,7 +692,7 @@ def pq_flat_topk(
             else:
                 out_s, out_i = merge_topk(out_s, out_i, blk_s, blk_i, k_eff)
     else:
-        blocks = codes.reshape(nblocks, block_rows, m)
+        blocks = codes.reshape(nblocks, block_rows, code_width)
         init = (
             jnp.full((qn, k_eff), NEG_INF, jnp.float32),
             jnp.full((qn, k_eff), -1, jnp.int32),

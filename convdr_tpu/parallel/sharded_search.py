@@ -210,11 +210,13 @@ def sharded_pq_topk(
     block_rows: int = 1 << 18,
     axis: str = "index",
     exact: bool = False,
+    packed: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """ADC search over row-sharded PQ codes; returns replicated (scores, idx).
 
     lut         [Q, M, K] f32      replicated per-query ADC tables
     code_shards [N_padded, M] u8   sharded over ``axis`` on dim 0
+                ([N_padded, M/2] with ``packed=True`` — nbits=4 nibbles)
     valid_rows  logical corpus size before padding (-1 => N_padded)
 
     The PQ analogue of :func:`sharded_flat_ip_topk`: every device runs the
@@ -246,6 +248,7 @@ def sharded_pq_topk(
             block_rows=min(block_rows, rows_per_shard),
             valid_rows=local_valid,
             exact=exact,
+            packed=packed,
         )
         row_ok = i >= 0
         s = jnp.where(row_ok, s, NEG_INF)

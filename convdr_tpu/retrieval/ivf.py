@@ -564,10 +564,49 @@ class IVFIndex:
             stats=stats,
         )
 
+    # -- capacity ---------------------------------------------------------
+    #: Resident-bytes budget per device for the uploaded list tensor
+    #: (lists + centroids + rowids). A v5e has 15.75 GB usable HBM; the
+    #: search transient (gathered candidates, bounded by
+    #: ``max_candidate_bytes``) plus XLA scratch need headroom, so the
+    #: default refuses above 12 GB. Overridable per instance for
+    #: larger-HBM parts.
+    max_resident_bytes: int = 12 << 30
+
+    def device_bytes(self) -> int:
+        """Device-resident footprint of the uploaded index tensors."""
+        return (
+            self.lists.nbytes
+            + self.centroids.nbytes
+            + self.rowids.nbytes
+        )
+
+    def _check_capacity(self, n_shards: int = 1) -> None:
+        per_dev = self.device_bytes() // n_shards
+        if per_dev > self.max_resident_bytes:
+            shard_hint = (
+                ""
+                if n_shards > 1
+                else " Shard the index over a device mesh "
+                "(search(mesh=...) splits sub-lists across devices),"
+            )
+            raise MemoryError(
+                f"IVF index needs {per_dev / 2**30:.1f} GB resident per "
+                f"device ({self.nlist} sub-lists x cap {self.cap} x "
+                f"{self.lists.shape[2]} {self.storage_dtype}), above the "
+                f"{self.max_resident_bytes / 2**30:.1f} GB budget "
+                f"(IVFIndex.max_resident_bytes).{shard_hint} use int8 or "
+                "pq4 list storage (4x / 32x smaller), or fall back to the "
+                "streamed BlockedSearcher, which has no residency "
+                "requirement."
+            )
+
     # -- device binding ---------------------------------------------------
     def _device_arrays(self):
         if self._dev is None:
             import ml_dtypes
+
+            self._check_capacity()
 
             dtype = {
                 "float32": jnp.float32,
@@ -599,6 +638,7 @@ class IVFIndex:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         n_shards = int(mesh.shape[axis])
+        self._check_capacity(n_shards)
         l_pad = -(-self.nlist // n_shards) * n_shards
         pad = l_pad - self.nlist
         cent = np.zeros((l_pad, self.dim), np.float32)
@@ -714,6 +754,111 @@ class IVFIndex:
             out_s.append(s)
             out_i.append(i)
         return np.concatenate(out_s), np.concatenate(out_i)
+
+    def rescore_block_pass(
+        self,
+        ann_data_dir: str,
+        queries: np.ndarray,
+        cand_ids: np.ndarray,
+        k: int,
+        *,
+        max_blocks: Optional[int] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Re-rank IVF candidates against rows streamed from block files.
+
+        The FAISS ``IndexIVFPQ`` + ``IndexRefineFlat`` composition — the
+        capability the reference reaches through its FAISS dependency
+        beyond /root/reference/drivers/run_convdr_inference.py:353 — at
+        one-sequential-disk-pass cost: the (codec- or SQ8-approximate)
+        IVF scan proposes ``cand_ids`` [Q, C] ROWIDS (emb2offset
+        payloads, -1 padded, from :meth:`search` with ``k = factor *
+        top_n``), whose true inner products are recomputed here from the
+        embedding blocks and the top ``k`` kept.
+
+        Candidates match block rows BY ROWID VALUE (unlike
+        ``PQIndex.rescore_block_pass``'s positional contract), so any
+        block directory whose emb2offset payloads built the index works,
+        regardless of block layout. Duplicate rowids (multi-chunk FirstP
+        emits one row per chunk under one offset) score as the max over
+        their rows — the reference's chunk-max semantics
+        (/root/reference/model/models.py:100-118). int8 block files are
+        dequantized with their scales sidecar (refinement then recovers
+        SQ8-grade rather than f32-grade ranking — still strictly above
+        ADC). Returns (scores [Q, k] f32 desc, rowids [Q, k] int32), ties
+        by lower rowid.
+        """
+        from convdr_tpu.retrieval.blocks import iter_embedding_blocks
+
+        q = np.asarray(queries, np.float32)
+        cand = np.asarray(cand_ids, np.int64)
+        if q.shape[0] != cand.shape[0]:
+            raise ValueError("one candidate row per query expected")
+        scores = np.full(cand.shape, NEG_INF, np.float32)
+        valid = cand >= 0
+        quantizer = None
+        saw_block = False
+        for block_id, emb, emb2offset in iter_embedding_blocks(
+            ann_data_dir, max_blocks=max_blocks
+        ):
+            saw_block = True
+            if emb.shape[0] == 0:
+                continue
+            offs = np.asarray(emb2offset, np.int64)
+            order = np.argsort(offs, kind="stable")
+            sorted_offs = offs[order]
+            left = np.searchsorted(sorted_offs, cand, side="left")
+            right = np.searchsorted(sorted_offs, cand, side="right")
+            hit = valid & (right > left)
+            if not hit.any():
+                continue
+            if emb.dtype == np.int8 and quantizer is None:
+                quantizer = Int8Quantizer.load(ann_data_dir)
+
+            def block_rows(flat_pos):
+                rows = emb[order[flat_pos]]
+                if rows.dtype == np.int8:
+                    return rows.astype(np.float32) * quantizer.scales[None, :]
+                return np.asarray(rows, np.float32)
+
+            qi, slot = np.nonzero(hit)
+            rows = block_rows(left[qi, slot])  # first row per rowid
+            s = np.einsum("cd,cd->c", rows, q[qi], dtype=np.float32)
+            np.maximum.at(scores, (qi, slot), s)
+            # multi-chunk: extra rows under the same rowid, max-combined
+            extra = hit & (right - left > 1)
+            for eq, es in zip(*np.nonzero(extra)):
+                for r in range(left[eq, es] + 1, right[eq, es]):
+                    s2 = float(
+                        block_rows(np.array([r]))[0] @ q[eq]
+                    )
+                    scores[eq, es] = max(scores[eq, es], s2)
+        if not saw_block:
+            raise FileNotFoundError(
+                f"No embedding blocks found in {ann_data_dir}"
+            )
+        missed = int((valid & (scores == NEG_INF)).sum())
+        if missed:
+            raise ValueError(
+                f"{missed} candidate rowids never appeared in "
+                f"{ann_data_dir}'s emb2offset payloads — these blocks are "
+                "not the ones this index was built from"
+            )
+        # exact ranking of the candidate set; ties (score desc, rowid asc)
+        key = np.where(valid, cand, np.iinfo(np.int64).max)
+        ord0 = np.argsort(key, axis=1, kind="stable")
+        cand = np.take_along_axis(cand, ord0, axis=1)
+        scores = np.take_along_axis(scores, ord0, axis=1)
+        kk = min(k, cand.shape[1])
+        sel = np.argsort(-scores, axis=1, kind="stable")[:, :kk]
+        out_s = np.take_along_axis(scores, sel, axis=1)
+        out_i = np.take_along_axis(cand, sel, axis=1)
+        if kk < k:
+            out_s = np.pad(
+                out_s, ((0, 0), (0, k - kk)), constant_values=NEG_INF
+            )
+            out_i = np.pad(out_i, ((0, 0), (0, k - kk)), constant_values=-1)
+        out_i = np.where(out_s <= NEG_INF, -1, out_i)
+        return out_s.astype(np.float32), out_i.astype(np.int32)
 
     # -- persistence --------------------------------------------------------
     def save(self, index_dir: str) -> None:

@@ -50,15 +50,20 @@ class PQIndex:
         rowids: Optional[np.ndarray] = None,
         *,
         stats: Optional[dict] = None,
+        packed: bool = False,
     ):
         codes = np.asarray(codes)
-        if codes.ndim != 2 or codes.shape[1] != codec.m:
+        if packed and codec.nbits != 4:
+            raise ValueError("packed codes are nbits=4 only")
+        width = codec.m // 2 if packed else codec.m
+        if codes.ndim != 2 or codes.shape[1] != width:
             raise ValueError(
-                f"codes must be [N, {codec.m}] for this codec, got "
-                f"{codes.shape}"
+                f"codes must be [N, {width}] for this codec "
+                f"(packed={packed}), got {codes.shape}"
             )
         if codes.dtype != np.uint8:
             raise ValueError(f"codes must be uint8, got {codes.dtype}")
+        self.packed = bool(packed)
         if rowids is None:
             rowids = np.arange(codes.shape[0], dtype=np.int32)
         rowids = np.asarray(rowids, np.int32)
@@ -83,7 +88,7 @@ class PQIndex:
 
     @property
     def code_bytes(self) -> int:
-        return self.codec.m
+        return self.codes.shape[1]
 
     # -- build ----------------------------------------------------------
     @classmethod
@@ -99,11 +104,16 @@ class PQIndex:
         train_sample: Optional[int] = None,
         codec: Optional[PQCodec] = None,
         opq_iters: int = 0,
+        pack: bool = False,
     ) -> "PQIndex":
         """Fit a codec on ``embeddings`` [N, D] (or reuse ``codec``) and
         encode every row. ``train_sample`` caps the codebook training set
         (None = FAISS's ~256 rows per centroid); ``opq_iters`` > 0 also
-        learns the OPQ rotation (ops/pq.py)."""
+        learns the OPQ rotation (ops/pq.py); ``pack`` stores nbits=4
+        codes 2-per-byte (half the HBM/disk; the unpack fuses into the
+        ADC kernel — FAISS packs pq4 the same way)."""
+        from convdr_tpu.ops.pq import pack_codes_4bit
+
         emb = np.asarray(embeddings, np.float32)
         if codec is None:
             codec = PQCodec.fit(
@@ -111,7 +121,12 @@ class PQIndex:
                 sample_max=train_sample, opq_iters=opq_iters,
             )
         codes = codec.encode(emb)
-        return cls(codec, codes, rowids, stats={"block_sizes": [len(emb)]})
+        if pack:
+            codes = pack_codes_4bit(codes)
+        return cls(
+            codec, codes, rowids,
+            stats={"block_sizes": [len(emb)]}, packed=pack,
+        )
 
     @classmethod
     def build_from_blocks(
@@ -125,6 +140,7 @@ class PQIndex:
         train_sample: Optional[int] = None,
         max_blocks: Optional[int] = None,
         opq_iters: int = 0,
+        pack: bool = False,
     ) -> "PQIndex":
         """Build from on-disk embedding blocks (gen_passage_embeddings
         output) in ONE streaming pass, RAM-bounded to max(one float block,
@@ -138,9 +154,12 @@ class PQIndex:
         ``BlockedSearcher.search_blocks``. int8 blocks are dequantized
         with their scales sidecar before encoding (PQ re-quantizes the
         reconstructed rows)."""
+        from convdr_tpu.ops.pq import pack_codes_4bit
         from convdr_tpu.ops.quant import Int8Quantizer
         from convdr_tpu.retrieval.blocks import iter_embedding_blocks
 
+        if pack and nbits != 4:
+            raise ValueError("pack=True is nbits=4 only")
         fit_target = train_sample if train_sample else 256 * (1 << nbits)
         codec = None
         quantizer = None
@@ -151,8 +170,10 @@ class PQIndex:
         sizes = []
 
         def flush(femb_list):
+            # per-block pack keeps peak RAM at the packed code size
             for femb in femb_list:
-                all_codes.append(codec.encode(femb))
+                codes = codec.encode(femb)
+                all_codes.append(pack_codes_4bit(codes) if pack else codes)
 
         for block_id, emb, emb2offset in iter_embedding_blocks(
             ann_data_dir, max_blocks=max_blocks
@@ -209,6 +230,7 @@ class PQIndex:
             np.concatenate(all_codes),
             np.concatenate(all_ids),
             stats={"block_sizes": sizes},
+            packed=pack,
         )
 
     # -- device binding ---------------------------------------------------
@@ -229,7 +251,12 @@ class PQIndex:
         codes = self.codes
         if n_pad > self.ntotal:
             codes = np.concatenate(
-                [codes, np.zeros((n_pad - self.ntotal, self.codec.m), np.uint8)]
+                [
+                    codes,
+                    np.zeros(
+                        (n_pad - self.ntotal, codes.shape[1]), np.uint8
+                    ),
+                ]
             )
         self._dev_sharded = device_put(codes, NamedSharding(mesh, P(axis)))
         self._dev_sharded_key = key
@@ -276,11 +303,12 @@ class PQIndex:
                 s, i = sharded_pq_topk(
                     mesh, lut, codes_dev, k_cand, self.codec.ksub,
                     valid_rows=self.ntotal, axis=index_axis, exact=exact,
+                    packed=self.packed,
                 )
             else:
                 s, i = pq_flat_topk(
                     lut, self._device_codes(), k_cand, self.codec.ksub,
-                    exact=exact,
+                    exact=exact, packed=self.packed,
                 )
             out_s.append(np.asarray(s))
             out_i.append(np.asarray(i))
@@ -379,6 +407,7 @@ class PQIndex:
             "dim": self.dim,
             "m": self.codec.m,
             "nbits": self.codec.nbits,
+            "packed": self.packed,
             "stats": self.stats,
         }
         with open(os.path.join(index_dir, _META_FILENAME), "w") as f:
@@ -397,6 +426,7 @@ class PQIndex:
             np.load(os.path.join(index_dir, "codes.npy"), mmap_mode=mmap_mode),
             np.load(os.path.join(index_dir, "rowids.npy")),
             stats=meta.get("stats"),
+            packed=meta.get("packed", False),
         )
 
 

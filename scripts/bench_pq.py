@@ -73,6 +73,12 @@ def main():
     ap.add_argument("--nbits", type=int, default=4, choices=[4, 8])
     ap.add_argument("--kmeans_iters", type=int, default=15)
     ap.add_argument("--opq_iters", type=int, default=0)
+    ap.add_argument(
+        "--packed", action="store_true",
+        help="nbits=4 only: store codes 2-per-byte (half the HBM; the "
+        "nibble unpack fuses into the ADC one-hot — ops/pq.py "
+        "pack_codes_4bit)",
+    )
     ap.add_argument("--train_sample", type=int, default=0,
                     help="0 = FAISS default (256 per centroid)")
     ap.add_argument("--qs", default="16,64,512")
@@ -147,26 +153,39 @@ def main():
     t0 = time.perf_counter()
     codes = codec.encode(corpus)
     encode_s = time.perf_counter() - t0
+    if args.packed:
+        from convdr_tpu.ops.pq import pack_codes_4bit
+
+        codes = pack_codes_4bit(codes)
     codes_dev = device_put_chunked(codes, jnp.uint8)
     jax.block_until_ready(codes_dev)
     cb_dev = jnp.asarray(codec.codebooks)
     print(json.dumps({
         "bench": "pq_build", "n_rows": args.n_rows, "m": args.m,
         "nbits": args.nbits, "opq": bool(args.opq_iters),
+        "packed": args.packed,
         "fit_s": round(fit_s, 1),
         "encode_s": round(encode_s, 1),
         "code_bytes": int(codes.nbytes),
-        "code_gb_per_38m": round(38_000_000 * args.m / 2**30, 2),
+        "code_gb_per_38m": round(
+            38_000_000 * codes.shape[1] / 2**30, 2
+        ),
     }), flush=True)
 
     # ---- sweep ----------------------------------------------------------
     ksub = codec.ksub
+    r_dev = (
+        jnp.asarray(codec.rotation)
+        if codec.rotation is not None
+        else jnp.eye(DIM, dtype=jnp.float32)
+    )
     for q_n in qs:
         qq = flat_q[:q_n]
         for k_cand in (TOP_K, 2 * TOP_K, 5 * TOP_K):
             _, i = pq_flat_topk(
                 jnp.asarray(codec.lut(np.asarray(qq))), codes_dev,
                 k_cand, ksub, block_rows=args.block_rows,
+                packed=args.packed,
             )
             got = np.asarray(i)
             # fraction of the exact top-100 inside the ADC top-k_cand
@@ -174,24 +193,32 @@ def main():
             if k_cand == TOP_K:
                 direct = rec
 
-                def body(it, q_in, cds, cb, k_cand=k_cand):
+                def body(it, q_in, cds, cb, rot, k_cand=k_cand):
                     q_pert = q_in + it.astype(jnp.float32) * 1e-8
+                    # OPQ folds into the LUT as one [Q, D] x [D, D] matmul
+                    q_rot = jnp.dot(
+                        q_pert, rot,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
                     lut = jnp.einsum(
                         "qmd,mkd->qmk",
-                        q_pert.reshape(q_in.shape[0], args.m, DIM // args.m),
+                        q_rot.reshape(q_in.shape[0], args.m, DIM // args.m),
                         cb,
                         preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST,
                     )
                     s, i = pq_flat_topk(
-                        lut, cds, TOP_K, ksub, block_rows=args.block_rows
+                        lut, cds, TOP_K, ksub, block_rows=args.block_rows,
+                        packed=args.packed,
                     )
                     return s[0, 0] + i[0, 0].astype(jnp.float32)
 
-                dt = timed_loop(body, args.iters, qq, codes_dev, cb_dev)
+                dt = timed_loop(body, args.iters, qq, codes_dev, cb_dev, r_dev)
             print(json.dumps({
                 "bench": "pq", "n_rows": args.n_rows, "m": args.m,
                 "nbits": args.nbits, "opq": bool(args.opq_iters),
+                "packed": args.packed,
                 "Q": q_n, "k_cand": k_cand,
                 "recall_exact_top100": round(rec, 4),
                 **({"ms_per_batch": round(dt * 1e3, 3),

@@ -314,3 +314,145 @@ def test_ivf_rejects_bad_shapes():
             np.zeros((4, 10, 8), np.int8),  # int8 without quantizer
             np.zeros((4, 10), np.int32),
         )
+
+
+def test_ivf_rescore_block_pass_recovers_oracle_ranking(tmp_path):
+    """IVFPQ + rescore (FAISS IndexIVFPQ + IndexRefineFlat): a full-probe
+    pq4 scan proposes candidates, the block pass re-ranks them with true
+    float scores — output must equal the exact oracle ranking over the
+    candidate set, and recall@k must be >= the un-rescored ADC recall."""
+    from convdr_tpu.retrieval.blocks import write_embedding_block
+
+    x, _c, _w = _clustered(1200, 32, 24, seed=11, spread=0.08)
+    offsets = np.arange(1200, dtype=np.int64) * 2 + 5
+    d = str(tmp_path / "blocks")
+    for b in range(3):
+        write_embedding_block(d, b, x[b::3], offsets[b::3])
+    idx = IVFIndex.build_from_blocks(
+        d, 8, storage_dtype="pq4", pq_m=8, iters=6, seed=0
+    )
+    rng = np.random.Generator(np.random.PCG64(12))
+    q = x[rng.choice(1200, 8, replace=False)] + 0.02 * rng.standard_normal(
+        (8, 32), dtype=np.float32
+    )
+    k, factor = 10, 4
+    _s_adc, cand = idx.search(q, factor * k, nprobe=idx.nlist)
+    s, i = idx.rescore_block_pass(d, q, cand, k)
+    # exact oracle over the candidate set, by rowid
+    off_to_row = {int(o): r for r, o in enumerate(offsets)}
+    for r in range(8):
+        rows = np.array(
+            sorted(off_to_row[int(c)] for c in cand[r] if c >= 0)
+        )
+        true = q[r] @ x[rows].T
+        order = np.argsort(-true, kind="stable")[:k]
+        np.testing.assert_allclose(s[r], true[order], rtol=1e-5)
+        np.testing.assert_array_equal(
+            i[r], offsets[rows[order]].astype(np.int32)
+        )
+    # rescoring never loses recall vs the raw ADC cut at k
+    _, o_i = topk_oracle(q, x, k)
+    oracle_sets = [set(offsets[o_i[r]]) for r in range(8)]
+    s_raw, i_raw = idx.search(q, k, nprobe=idx.nlist)
+    rec = lambda ii: np.mean(
+        [len(set(ii[r]) & oracle_sets[r]) / k for r in range(8)]
+    )
+    assert rec(i) >= rec(i_raw) - 1e-9, (rec(i), rec(i_raw))
+
+
+def test_ivf_rescore_block_pass_multichunk_duplicates(tmp_path):
+    """Duplicate rowids (multi-chunk FirstP: one offset, several rows)
+    score as the max over their rows."""
+    from convdr_tpu.retrieval.blocks import write_embedding_block
+
+    rng = np.random.Generator(np.random.PCG64(21))
+    x = rng.standard_normal((60, 8), dtype=np.float32)
+    offsets = np.repeat(np.arange(30, dtype=np.int64), 2)  # 2 chunks/doc
+    d = str(tmp_path / "blocks_mc")
+    write_embedding_block(d, 0, x, offsets)
+    idx = IVFIndex.build(
+        x, 4, rowids=offsets.astype(np.int32), iters=5, seed=0
+    )
+    q = rng.standard_normal((3, 8), dtype=np.float32)
+    _s, cand = idx.search(q, 40, nprobe=idx.nlist)
+    s, i = idx.rescore_block_pass(d, q, cand, 5)
+    true = q @ x.T  # [3, 60]
+    chunk_max = np.maximum(true[:, 0::2], true[:, 1::2])  # [3, 30] per doc
+    for r in range(3):
+        # every returned (rowid, score) pair carries the doc's CHUNK MAX
+        # (both duplicate slots surface with the same max; the run writer
+        # dedups downstream, reference run_convdr_inference.py:58-69)
+        np.testing.assert_allclose(s[r], chunk_max[r, i[r]], rtol=1e-5)
+        # distinct docs appear in descending chunk-max order
+        _, first = np.unique(i[r], return_index=True)
+        docs = i[r][np.sort(first)]
+        want = np.argsort(-chunk_max[r], kind="stable")[: len(docs)]
+        np.testing.assert_array_equal(docs, want)
+
+
+def test_ivf_rescore_block_pass_int8_blocks(tmp_path):
+    """int8 block files refine via their scales sidecar (SQ8-grade)."""
+    from convdr_tpu.ops.quant import Int8Quantizer
+    from convdr_tpu.retrieval.blocks import write_embedding_block
+
+    rng = np.random.Generator(np.random.PCG64(31))
+    x = rng.standard_normal((300, 16), dtype=np.float32)
+    quant = Int8Quantizer.fit(x)
+    d = str(tmp_path / "blocks_i8r")
+    write_embedding_block(
+        d, 0, quant.quantize_passages(x), np.arange(300, dtype=np.int64)
+    )
+    quant.save(d)
+    idx = IVFIndex.build_from_blocks(
+        d, 4, storage_dtype="pq4", pq_m=8, iters=5, seed=0
+    )
+    q = rng.standard_normal((4, 16), dtype=np.float32)
+    _s, cand = idx.search(q, 30, nprobe=idx.nlist)
+    s, i = idx.rescore_block_pass(d, q, cand, 5)
+    deq = quant.quantize_passages(x).astype(np.float32) * quant.scales
+    for r in range(4):
+        rows = np.array(sorted(int(c) for c in cand[r] if c >= 0))
+        true = q[r] @ deq[rows].T
+        order = np.argsort(-true, kind="stable")[:5]
+        np.testing.assert_allclose(s[r], true[order], rtol=1e-5)
+
+
+def test_ivf_rescore_block_pass_wrong_dir_raises(tmp_path):
+    from convdr_tpu.retrieval.blocks import write_embedding_block
+
+    rng = np.random.Generator(np.random.PCG64(51))
+    x = rng.standard_normal((100, 8), dtype=np.float32)
+    d = str(tmp_path / "blocks_a")
+    write_embedding_block(d, 0, x, np.arange(100, dtype=np.int64))
+    idx = IVFIndex.build(
+        x, 4, rowids=np.arange(100, dtype=np.int32) + 5000, iters=4, seed=0
+    )
+    q = rng.standard_normal((2, 8), dtype=np.float32)
+    _s, cand = idx.search(q, 10, nprobe=idx.nlist)
+    with pytest.raises(ValueError, match="never appeared"):
+        idx.rescore_block_pass(d, q, cand, 5)
+    with pytest.raises(FileNotFoundError):
+        idx.rescore_block_pass(str(tmp_path / "empty"), q, cand, 5)
+
+
+def test_ivf_capacity_guard_raises_with_sizing_message():
+    """Oversized resident lists refuse upload with a sizing message; the
+    budget prorates across mesh shards."""
+    import jax
+    from convdr_tpu.parallel.mesh import get_mesh
+
+    x = np.zeros((64, 8), np.float32)
+    idx = IVFIndex.build(x, 4, iters=2, seed=0)
+    idx.max_resident_bytes = 64  # force the refusal
+    with pytest.raises(MemoryError, match="GB resident per device"):
+        idx.search(x[:2], 3)
+    # an 8-way mesh divides the footprint; a budget that fits one shard
+    # but not the whole index must pass sharded and fail unsharded
+    per_shard = idx.device_bytes() // 8
+    idx.max_resident_bytes = per_shard + 64
+    with pytest.raises(MemoryError):
+        idx._check_capacity(1)
+    mesh = get_mesh(("index",))
+    assert len(jax.devices()) == 8
+    s, i = idx.search(x[:2], 3, nprobe=idx.nlist, mesh=mesh)
+    assert s.shape == (2, 3)

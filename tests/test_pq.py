@@ -256,3 +256,57 @@ def test_opq_persistence_roundtrip(tmp_path):
     np.testing.assert_array_equal(loaded.rotation, codec.rotation)
     np.testing.assert_array_equal(loaded.encode(x[:64]), codec.encode(x[:64]))
     np.testing.assert_allclose(loaded.lut(x[:4]), codec.lut(x[:4]))
+
+
+# ---------------------------------------------------------------------------
+# packed pq4 codes
+# ---------------------------------------------------------------------------
+def test_pack_unpack_roundtrip_and_validation():
+    from convdr_tpu.ops.pq import (
+        pack_codes_4bit,
+        unpack_codes_4bit,
+        unpack_codes_4bit_dev,
+    )
+
+    rng = np.random.RandomState(5)
+    codes = rng.randint(0, 16, size=(37, 8)).astype(np.uint8)
+    packed = pack_codes_4bit(codes)
+    assert packed.shape == (37, 4)
+    np.testing.assert_array_equal(unpack_codes_4bit(packed), codes)
+    np.testing.assert_array_equal(
+        np.asarray(unpack_codes_4bit_dev(jnp.asarray(packed))), codes
+    )
+    with pytest.raises(ValueError, match="4 bits"):
+        pack_codes_4bit(np.full((2, 4), 16, np.uint8))
+    with pytest.raises(ValueError, match="even"):
+        pack_codes_4bit(np.zeros((2, 5), np.uint8))
+
+
+@pytest.mark.parametrize("block_rows", [1 << 18, 256])
+def test_flat_topk_packed_matches_unpacked(codec_problem, block_rows):
+    """Packed nibble codes produce bit-identical results to unpacked
+    (same ADC scores, same selection) at half the code bytes."""
+    from convdr_tpu.ops.pq import pack_codes_4bit
+
+    _, _, queries, codec, codes = codec_problem
+    lut = jnp.asarray(codec.lut(queries))
+    s_u, i_u = pq_flat_topk(
+        lut, jnp.asarray(codes), 20, codec.ksub, block_rows=block_rows
+    )
+    s_p, i_p = pq_flat_topk(
+        lut,
+        jnp.asarray(pack_codes_4bit(codes)),
+        20,
+        codec.ksub,
+        block_rows=block_rows,
+        packed=True,
+    )
+    np.testing.assert_array_equal(np.asarray(s_u), np.asarray(s_p))
+    np.testing.assert_array_equal(np.asarray(i_u), np.asarray(i_p))
+
+
+def test_flat_topk_packed_rejects_pq8(codec_problem):
+    _, _, queries, codec, codes = codec_problem
+    lut = jnp.zeros((2, 8, 256), jnp.float32)
+    with pytest.raises(ValueError, match="nbits=4 only"):
+        pq_flat_topk(lut, jnp.asarray(codes[:, :4]), 5, 256, packed=True)

@@ -283,3 +283,34 @@ def test_ivfpq_sharded_search_contract():
     # full probe on both paths: every row scored, result sets match
     for r in range(6):
         assert set(i0[r].tolist()) == set(i1[r].tolist())
+
+
+def test_packed_index_matches_unpacked(tmp_path, built):
+    """pack=True: half the code bytes, identical search results, save/load
+    + sharded paths preserved."""
+    x, index, queries = built
+    packed = PQIndex.build(x, m=8, nbits=4, codec=index.codec, pack=True)
+    assert packed.code_bytes == 4 and index.code_bytes == 8
+    assert packed.codes.nbytes == index.codes.nbytes // 2
+    s_u, i_u = index.search(queries, 15)
+    s_p, i_p = packed.search(queries, 15)
+    np.testing.assert_array_equal(s_u, s_p)
+    np.testing.assert_array_equal(i_u, i_p)
+    d = str(tmp_path / "pq_packed")
+    packed.save(d)
+    loaded = PQIndex.load(d)
+    assert loaded.packed
+    s_l, i_l = loaded.search(queries, 15)
+    np.testing.assert_array_equal(s_u, s_l)
+    np.testing.assert_array_equal(i_u, i_l)
+    mesh = get_mesh(("index",))
+    s_m, i_m = loaded.search(queries, 15, mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(s_m), s_u)
+    np.testing.assert_array_equal(np.asarray(i_m), i_u)
+
+
+def test_packed_requires_nbits4(built):
+    x, _index, _q = built
+    codec8 = PQCodec.fit(x, m=8, nbits=8, iters=4, seed=1)
+    with pytest.raises(ValueError, match="nbits=4 only"):
+        PQIndex(codec8, np.zeros((4, 4), np.uint8), packed=True)
