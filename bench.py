@@ -376,6 +376,8 @@ def bench_ann(cache_dir: str) -> list:
     ground truth cache under ``cache_dir`` so later runs skip the ~10 min
     build; the corpus regenerates deterministically either way.
     """
+    import logging
+
     import jax
     import jax.numpy as jnp
 
@@ -383,6 +385,7 @@ def bench_ann(cache_dir: str) -> list:
     from convdr_tpu.retrieval.ivf import IVFIndex, _ivf_search_dev
     from convdr_tpu.utils.transfer import device_put_chunked
 
+    logging.basicConfig(level=logging.INFO)  # build-progress on stderr
     os.makedirs(cache_dir, exist_ok=True)
     corpus, queries = _ann_problem(ANN_ROWS, ANN_QUERIES)
 

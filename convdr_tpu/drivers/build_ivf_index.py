@@ -104,9 +104,13 @@ def main(argv=None):
         level=logging.INFO,
     )
     args = get_arguments(argv)
-    if args.pack_codes and (args.index_type != "pq" or args.pq_nbits != 4):
+    if args.pack_codes and not (
+        (args.index_type == "pq" and args.pq_nbits == 4)
+        or (args.index_type == "ivf" and args.storage_dtype == "pq4")
+    ):
         raise SystemExit(
-            "--pack_codes applies to --index_type pq --pq_nbits 4 only"
+            "--pack_codes applies to nbits=4 codes only (--index_type pq "
+            "--pq_nbits 4, or --index_type ivf --storage_dtype pq4)"
         )
     if args.index_type == "pq":
         index = PQIndex.build_from_blocks(
@@ -148,6 +152,7 @@ def main(argv=None):
         max_blocks=args.max_blocks or None,
         pq_m=args.pq_m,
         opq_iters=args.opq_iters,
+        pack=args.pack_codes,
     )
     index.save(args.index_dir)
     summary = {
@@ -158,6 +163,7 @@ def main(argv=None):
         "dim": index.dim,
         "ntotal": index.ntotal,
         "storage_dtype": index.storage_dtype,
+        "packed": index.packed,
         "list_tensor_bytes": int(index.lists.nbytes),
         **{f"assign_{k}": v for k, v in index.stats.items()},
     }

@@ -103,6 +103,7 @@ def sharded_ivf_topk(
     nprobe: int,
     *,
     axis: str = "index",
+    packed: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """IVF search over sub-lists row-sharded on the ``axis`` mesh dim.
 
@@ -154,7 +155,9 @@ def sharded_ivf_topk(
             # IVFPQ lists: d is the code width, qs the [Q, M, K] ADC LUT
             from convdr_tpu.retrieval.ivf import _adc_candidate_scores
 
-            scores = _adc_candidate_scores(cand, qs, qs.shape[-1])
+            scores = _adc_candidate_scores(
+                cand, qs, qs.shape[-1], packed=packed
+            )
         elif ls.dtype == jnp.int8:
             scores = jnp.einsum(
                 "qnd,qd->qn",

@@ -128,10 +128,13 @@ def _adc_candidate_scores(
     lut: jnp.ndarray,
     ksub: int,
     exact: bool = False,
+    packed: bool = False,
 ) -> jnp.ndarray:
     """ADC scores for per-query gathered PQ candidates.
 
-    cand_codes [Q, C, M] integer codes, lut [Q, M, K] f32 ->
+    cand_codes [Q, C, M] integer codes ([Q, C, M/2] packed nibbles with
+    ``packed`` — the unpack fuses into the one-hot, and the gathered
+    candidate tensor rides at half the bytes), lut [Q, M, K] f32 ->
     scores [Q, C] f32: sum_m lut[q, m, cand_codes[q, c, m]].
 
     Unlike the flat scan's QUERY-SHARED one-hot (ops/pq.py), IVF
@@ -143,7 +146,8 @@ def _adc_candidate_scores(
     f32 operands through the contraction (test parity with
     :func:`convdr_tpu.ops.pq.pq_adc_oracle`).
     """
-    qn, c, m = cand_codes.shape
+    qn, c, width = cand_codes.shape
+    m = width * 2 if packed else width
     dtype = jnp.float32 if exact else jnp.bfloat16
     precision = jax.lax.Precision.HIGHEST if exact else None
     lut_x = lut.astype(dtype)
@@ -151,6 +155,10 @@ def _adc_candidate_scores(
     q_chunk = max(1, min(qn, (256 << 20) // max(per_q, 1)))
 
     def score(codes_c, lut_c):
+        if packed:
+            from convdr_tpu.ops.pq import unpack_codes_4bit_dev
+
+            codes_c = unpack_codes_4bit_dev(codes_c)
         oh = jax.nn.one_hot(codes_c, ksub, dtype=dtype)  # [qc, C, M, K]
         return jnp.einsum(
             "qcmk,qmk->qc",
@@ -167,13 +175,15 @@ def _adc_candidate_scores(
     if pad:
         cand_codes = jnp.pad(cand_codes, ((0, pad), (0, 0), (0, 0)))
         lut_x = jnp.pad(lut_x, ((0, pad), (0, 0), (0, 0)))
-    cc = cand_codes.reshape(nchunks, q_chunk, c, m)
+    cc = cand_codes.reshape(nchunks, q_chunk, c, width)
     lc = lut_x.reshape(nchunks, q_chunk, m, ksub)
     _, out = jax.lax.scan(lambda _, inp: (None, score(*inp)), None, (cc, lc))
     return out.reshape(nchunks * q_chunk, c)[:qn]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "nprobe", "exact"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "nprobe", "exact", "packed")
+)
 def _ivf_search_dev(
     q_probe: jnp.ndarray,
     q_score: jnp.ndarray,
@@ -183,13 +193,15 @@ def _ivf_search_dev(
     k: int,
     nprobe: int,
     exact: bool = False,
+    packed: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One fused probe->gather->score->select program.
 
     q_probe [Q, D] f32 ranks lists by <q, centroid>; q_score scores
     candidates: [Q, D] original rows (float lists), SQ8 int-valued rows
     (int8 lists), or [Q, M, K] ADC tables (uint8 PQ-code lists — the
-    IVFPQ composition, scored by :func:`_adc_candidate_scores`).
+    IVFPQ composition, scored by :func:`_adc_candidate_scores`; ``packed``
+    lists hold 2 nibbles/byte at half the residency + gather traffic).
     Returns (scores [Q, k] desc f32, global row ids [Q, k] int32, -1 pad).
     """
     qn = q_probe.shape[0]
@@ -205,9 +217,9 @@ def _ivf_search_dev(
     cand = jnp.take(lists, flat_probes, axis=0).reshape(qn, nprobe * cap, d)
     rid = jnp.take(rowids, flat_probes, axis=0).reshape(qn, nprobe * cap)
     if lists.dtype == jnp.uint8:
-        # IVFPQ: d is the code width M, q_score the [Q, M, K] LUT
+        # IVFPQ: d is the code width M (M/2 packed), q_score the LUT
         scores = _adc_candidate_scores(
-            cand, q_score, q_score.shape[-1], exact=exact
+            cand, q_score, q_score.shape[-1], exact=exact, packed=packed
         )
     elif lists.dtype == jnp.int8:
         # SQ8: int-valued operands make the default-precision bf16 matmul
@@ -250,6 +262,7 @@ class IVFIndex:
         quantizer: Optional[Int8Quantizer] = None,
         codec: Optional[PQCodec] = None,
         stats: Optional[dict] = None,
+        packed: bool = False,
     ):
         if lists.ndim != 3 or rowids.shape != lists.shape[:2]:
             raise ValueError(
@@ -277,13 +290,17 @@ class IVFIndex:
             raise ValueError(f"unknown storage_dtype {storage_dtype!r}")
         self.storage_dtype = storage_dtype
         is_pq = storage_dtype.startswith("pq")
+        if packed and (not is_pq or codec is None or codec.nbits != 4):
+            raise ValueError("packed lists are pq4 storage only")
+        self.packed = bool(packed)
         dim = codec.dim if is_pq else lists.shape[2]
         if centroids.shape != (lists.shape[0], dim):
             raise ValueError(f"centroids must be [nlist, {dim}]")
-        if is_pq and lists.shape[2] != codec.m:
+        width = (codec.m // 2 if packed else codec.m) if is_pq else None
+        if is_pq and lists.shape[2] != width:
             raise ValueError(
-                f"PQ lists must be [K, cap, {codec.m}] codes, got "
-                f"{lists.shape}"
+                f"PQ lists must be [K, cap, {width}] codes "
+                f"(packed={packed}), got {lists.shape}"
             )
         self.centroids = np.ascontiguousarray(centroids, np.float32)
         self.lists = lists
@@ -327,6 +344,7 @@ class IVFIndex:
         centroids: Optional[np.ndarray] = None,
         pq_m: int = 96,
         opq_iters: int = 0,
+        pack: bool = False,
     ) -> "IVFIndex":
         """Cluster + pack ``embeddings`` [N, D] into an IVF index.
 
@@ -337,8 +355,12 @@ class IVFIndex:
         ~256 points/centroid; None = train on everything). ``centroids``:
         skip training and use these (e.g. fitted on one block of a larger
         corpus). storage_dtype "pq4"/"pq8" packs PQ codes (``pq_m`` bytes
-        per row) instead of rows — the FAISS IVFPQ composition.
+        per row) instead of rows — the FAISS IVFPQ composition; ``pack``
+        stores pq4 nibbles 2-per-byte (half the residency + gather
+        traffic; the unpack fuses into the ADC one-hot).
         """
+        if pack and storage_dtype != "pq4":
+            raise ValueError("pack=True is pq4 storage only")
         emb = np.asarray(embeddings)
         n, d = emb.shape
         if rowids is None:
@@ -381,6 +403,10 @@ class IVFIndex:
                 opq_iters=opq_iters,
             )
             packed_src = codec.encode(np.asarray(emb, np.float32))
+            if pack:
+                from convdr_tpu.ops.pq import pack_codes_4bit
+
+                packed_src = pack_codes_4bit(packed_src)
         else:
             packed_src = _pack_rows(emb, storage_dtype)
 
@@ -398,6 +424,7 @@ class IVFIndex:
             quantizer=quantizer,
             codec=codec,
             stats=stats,
+            packed=pack,
         )
 
     @classmethod
@@ -414,6 +441,7 @@ class IVFIndex:
         max_blocks: Optional[int] = None,
         pq_m: int = 96,
         opq_iters: int = 0,
+        pack: bool = False,
     ) -> "IVFIndex":
         """Build from on-disk embedding blocks (gen_passage_embeddings
         output), RAM-bounded: two streaming passes over the block files
@@ -437,6 +465,8 @@ class IVFIndex:
             "float32", "bfloat16", "int8", "pq4", "pq8"
         ):
             raise ValueError(f"unknown storage_dtype {storage_dtype!r}")
+        if pack and storage_dtype != "pq4":
+            raise ValueError("pack=True is pq4 storage only")
         is_pq = storage_dtype.startswith("pq")
         pq_fit_target = (
             (train_sample or 256 * (1 << int(storage_dtype[2])))
@@ -516,7 +546,7 @@ class IVFIndex:
             "float32": np.float32, "bfloat16": np.uint16, "int8": np.int8,
             "pq4": np.uint8, "pq8": np.uint8,
         }[storage_dtype]
-        d = pq_m if is_pq else centroids.shape[1]
+        d = (pq_m // 2 if pack else pq_m) if is_pq else centroids.shape[1]
         n_sub = stats["n_sublists"]
         flat = np.zeros((n_sub * cap, d), host_dtype)
         flat_ids = np.full(n_sub * cap, -1, np.int32)
@@ -536,6 +566,10 @@ class IVFIndex:
                 else:
                     femb = emb  # raw rows; encode() handles bf16/uint16
                 packed = codec.encode(femb)
+                if pack:
+                    from convdr_tpu.ops.pq import pack_codes_4bit
+
+                    packed = pack_codes_4bit(packed)
             elif emb.dtype == np.int8:
                 packed = emb
             elif storage_dtype == "int8":
@@ -562,6 +596,7 @@ class IVFIndex:
             quantizer=quantizer,
             codec=codec,
             stats=stats,
+            packed=pack,
         )
 
     # -- capacity ---------------------------------------------------------
@@ -734,6 +769,7 @@ class IVFIndex:
                     k,
                     nprobe,
                     axis=index_axis,
+                    packed=self.packed,
                 )
             else:
                 s, i = _ivf_search_dev(
@@ -745,6 +781,7 @@ class IVFIndex:
                     k,
                     nprobe,
                     exact=exact,
+                    packed=self.packed,
                 )
             s, i = np.asarray(s), np.asarray(i)
             if tq is not None:
@@ -876,6 +913,7 @@ class IVFIndex:
             "dim": self.dim,
             "ntotal": self.ntotal,
             "storage_dtype": self.storage_dtype,
+            "packed": self.packed,
             "stats": self.stats,
         }
         with open(os.path.join(index_dir, _META_FILENAME), "w") as f:
@@ -897,4 +935,5 @@ class IVFIndex:
             quantizer=Int8Quantizer.load_optional(index_dir),
             codec=PQCodec.load_optional(index_dir),
             stats=meta.get("stats"),
+            packed=meta.get("packed", False),
         )

@@ -314,3 +314,60 @@ def test_packed_requires_nbits4(built):
     codec8 = PQCodec.fit(x, m=8, nbits=8, iters=4, seed=1)
     with pytest.raises(ValueError, match="nbits=4 only"):
         PQIndex(codec8, np.zeros((4, 4), np.uint8), packed=True)
+
+
+def test_ivfpq_packed_lists_match_unpacked():
+    """pack=True pq4 IVF lists: half the list bytes, bit-identical search
+    results single-device and sharded."""
+    from convdr_tpu.retrieval.ivf import IVFIndex
+
+    rng = np.random.Generator(np.random.PCG64(77))
+    centers = rng.standard_normal((16, 32), dtype=np.float32)
+    which = rng.integers(0, 16, size=2000)
+    x = (centers[which] + 0.1 * rng.standard_normal((2000, 32))).astype(
+        np.float32
+    )
+    q = x[rng.choice(2000, 8, replace=False)] + 0.02 * rng.standard_normal(
+        (8, 32)
+    ).astype(np.float32)
+    a = IVFIndex.build(x, 16, storage_dtype="pq4", pq_m=8, iters=6, seed=0)
+    b = IVFIndex.build(
+        x, 16, storage_dtype="pq4", pq_m=8, iters=6, seed=0, pack=True
+    )
+    assert b.packed and b.lists.nbytes == a.lists.nbytes // 2
+    s_a, i_a = a.search(q, 10, nprobe=4)
+    s_b, i_b = b.search(q, 10, nprobe=4)
+    np.testing.assert_array_equal(s_a, s_b)
+    np.testing.assert_array_equal(i_a, i_b)
+    mesh = get_mesh(("index",))
+    s_m, i_m = b.search(q, 10, nprobe=8, mesh=mesh)
+    s_n, i_n = a.search(q, 10, nprobe=8, mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(s_m), np.asarray(s_n))
+    np.testing.assert_array_equal(np.asarray(i_m), np.asarray(i_n))
+
+
+def test_ivfpq_packed_save_load_roundtrip(tmp_path):
+    from convdr_tpu.retrieval.ivf import IVFIndex
+
+    rng = np.random.Generator(np.random.PCG64(78))
+    x = rng.standard_normal((300, 16), dtype=np.float32)
+    idx = IVFIndex.build(
+        x, 4, storage_dtype="pq4", pq_m=8, iters=4, seed=0, pack=True
+    )
+    d = str(tmp_path / "ivfpq_packed")
+    idx.save(d)
+    loaded = IVFIndex.load(d)
+    assert loaded.packed
+    q = rng.standard_normal((3, 16), dtype=np.float32)
+    s1, i1 = idx.search(q, 5, nprobe=idx.nlist)
+    s2, i2 = loaded.search(q, 5, nprobe=loaded.nlist)
+    np.testing.assert_array_equal(s1, s2)
+    np.testing.assert_array_equal(i1, i2)
+
+
+def test_ivf_pack_requires_pq4():
+    from convdr_tpu.retrieval.ivf import IVFIndex
+
+    x = np.zeros((64, 16), np.float32)
+    with pytest.raises(ValueError, match="pq4 storage only"):
+        IVFIndex.build(x, 4, storage_dtype="int8", pack=True)
