@@ -87,12 +87,12 @@ def get_arguments(argv=None):
         help="re-rank the top (rescore_factor * top_n) approximate "
         "candidates with full-precision scores before the final cut "
         "(FAISS IndexRefineFlat's k_factor). Works with --storage_dtype "
-        "int8 (float block files required; 2 recovers f32-grade ranking), "
-        "--pq_dir, and --ivf_dir (one streaming pass over --ann_data_dir "
-        "refines the quantized candidates — for PQ-coded lists this is "
-        "THE recall-recovery lever: ADC recall is codec-capped and more "
-        "probes cannot raise it, see --nprobe). 0 = off. Errors when "
-        "combined with plain float32/bfloat16 flat search (nothing to "
+        "int8/bfloat16 (float block files required; 2 recovers f32-grade "
+        "ranking), --pq_dir, and --ivf_dir (one streaming pass over "
+        "--ann_data_dir refines the quantized candidates — for PQ-coded "
+        "lists this is THE recall-recovery lever: ADC recall is "
+        "codec-capped and more probes cannot raise it, see --nprobe). "
+        "0 = off. Errors with plain float32 flat search (nothing to "
         "refine — exact already)",
     )
     parser.add_argument(
@@ -253,12 +253,12 @@ def main(argv=None):
     if (
         args.rescore_factor > 0
         and not (args.ivf_dir or args.pq_dir)
-        and args.storage_dtype != "int8"
+        and args.storage_dtype == "float32"
     ):
         raise SystemExit(
             "--rescore_factor refines approximate candidates; the "
-            f"float {args.storage_dtype} flat search is already exact. "
-            "Combine it with --storage_dtype int8, --pq_dir, or --ivf_dir"
+            "float32 flat search is already exact. Combine it with "
+            "--storage_dtype int8/bfloat16, --pq_dir, or --ivf_dir"
         )
     if args.pq_dir:
         from convdr_tpu.retrieval.pq_index import PQIndex

@@ -271,11 +271,13 @@ class BlockedSearcher:
         int8 storage: the scales sidecar is loaded from ``ann_data_dir``
         (unless a quantizer was passed at construction); block scans run on
         unscaled integer scores and the merged result is rescaled once per
-        query. With ``config.rescore_factor`` > 0 the blocks must be float
-        files (the original rows are the refinement source); each block's
-        top ``rescore_factor * top_n`` quantized candidates are re-ranked
-        host-side at full precision before the cross-block merge — FAISS's
-        ``IndexRefineFlat(IndexScalarQuantizer)`` composition.
+        query. With ``config.rescore_factor`` > 0 (int8 OR bfloat16
+        storage) the blocks must be float files (the original rows are
+        the refinement source); each block's top ``rescore_factor *
+        top_n`` quantized candidates are re-ranked host-side at full
+        precision before the cross-block merge — FAISS's
+        ``IndexRefineFlat(IndexScalarQuantizer)`` composition (bf16: the
+        ~0.3% of top-100 rows the rounded scan reorders come back).
         """
         if self._int8 and self.quantizer is None:
             self.quantizer = Int8Quantizer.load_optional(ann_data_dir)
@@ -302,7 +304,10 @@ class BlockedSearcher:
                 )
                 self.quantizer = Int8Quantizer.fit(blk[0])
         q_ready, tq = self._prepare_queries(query_embs)
-        rescoring = self._int8 and self.config.rescore_factor > 0
+        rescoring = (
+            self.config.rescore_factor > 0
+            and self.config.storage_dtype in ("int8", "bfloat16")
+        )
         q_orig = np.asarray(query_embs, np.float32) if rescoring else None
         merged_s: Optional[jnp.ndarray] = None
         merged_i: Optional[jnp.ndarray] = None
@@ -327,11 +332,11 @@ class BlockedSearcher:
                 jax.block_until_ready(prev_merged)
             prev_merged = merged_s
             if rescoring:
-                if emb.dtype == np.int8:
+                if emb.dtype != np.float32:
                     raise ValueError(
                         "rescore_factor needs float block files (the "
                         "original rows are the refinement source); these "
-                        "blocks are already int8"
+                        f"blocks are already {emb.dtype}"
                     )
                 m = self.config.rescore_factor * top_n
                 s_m, i_m = self._search_block_device(q_ready, emb, m)
@@ -376,18 +381,21 @@ class BlockedSearcher:
         """In-memory single-block convenience path.
 
         int8 storage: scales fit on the passed corpus when no quantizer is
-        set (float input), and ``config.rescore_factor`` > 0 re-ranks the
-        quantized top ``factor * top_n`` with full-precision host scores.
+        set (float input), and ``config.rescore_factor`` > 0 (int8 or
+        bfloat16 storage) re-ranks the quantized top ``factor * top_n``
+        with full-precision host scores.
         """
         if self._int8 and self.quantizer is None:
             if passage_embs.dtype == np.int8:
                 self._require_quantizer()  # raises with guidance
             self.quantizer = Int8Quantizer.fit(passage_embs)
-        if self._int8 and self.config.rescore_factor > 0:
-            if passage_embs.dtype == np.int8:
+        if self.config.rescore_factor > 0 and self.config.storage_dtype in (
+            "int8", "bfloat16"
+        ):
+            if passage_embs.dtype != np.float32:
                 raise ValueError(
                     "rescore_factor needs the original float rows; the "
-                    "passed corpus is already int8"
+                    f"passed corpus is already {passage_embs.dtype}"
                 )
             q_ready, _tq = self._prepare_queries(query_embs)
             m = self.config.rescore_factor * top_n

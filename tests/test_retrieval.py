@@ -290,3 +290,35 @@ def test_sharded_bf16_multiblock_matches_oracle(tmp_path, rng):
     ref = np.argsort(-scores, axis=1, kind="stable")[:, :25]
     for r in range(6):
         assert set(offs[r]) == set(ref[r]), r
+
+
+def test_bf16_storage_rescore_recovers_f32_ranking(tmp_path, rng):
+    """bfloat16 storage + rescore_factor: the bf16-rounded scan proposes,
+    host float re-ranking restores the f32-exact ordering when the
+    candidate width covers the reordered tail (FAISS IndexRefineFlat
+    over the bf16 capacity mode — same contract as int8)."""
+    n, d, k = 4000, 32, 10
+    p = rng.randn(n, d).astype(np.float32)
+    q = rng.randn(6, d).astype(np.float32)
+    offs = np.arange(n, dtype=np.int64)
+    ddir = str(tmp_path / "blocks")
+    for b in range(2):
+        write_embedding_block(ddir, b, p[b::2], offs[b::2])
+    o_s, o_i = topk_oracle(q, p, k)
+    plain = BlockedSearcher(SearchConfig(storage_dtype="bfloat16"))
+    rescored = BlockedSearcher(
+        SearchConfig(storage_dtype="bfloat16", rescore_factor=4)
+    )
+    s_r, i_r = rescored.search_blocks(ddir, q, k)
+    np.testing.assert_array_equal(i_r, o_i)
+    np.testing.assert_allclose(s_r, o_s, rtol=1e-6)
+    # arrays path too
+    s_a, i_a = rescored.search_arrays(q, p, offs, k)
+    np.testing.assert_array_equal(i_a, o_i)
+    # bf16 block FILES cannot rescore (original rows are gone)
+    bdir = str(tmp_path / "blocks_bf16")
+    import ml_dtypes
+
+    write_embedding_block(bdir, 0, p.astype(ml_dtypes.bfloat16), offs)
+    with pytest.raises(ValueError, match="float block files"):
+        rescored.search_blocks(bdir, q, k)
