@@ -86,6 +86,15 @@ def get_arguments(argv=None):
         "— 38M rows at m=96 drop 3.4 -> 1.7 GB; the nibble unpack fuses "
         "into the ADC kernel, FAISS's packed-pq4 layout)",
     )
+    parser.add_argument(
+        "--from_pq_dir", type=str, default="",
+        help="IVF: promote an existing flat PQ index (a --index_type pq "
+        "output over the SAME blocks) to IVFPQ by reusing its codec and "
+        "codes verbatim — one assignment pass instead of the ~hours "
+        "re-encode at reference scale (FAISS's precomputed-codes "
+        "add_core path). Overrides --storage_dtype/--pq_*/--pack_codes "
+        "with the source index's",
+    )
     parser.add_argument("--kmeans_iters", type=int, default=20)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument(
@@ -141,19 +150,32 @@ def main(argv=None):
         return summary
     if args.nlist <= 0:
         raise SystemExit("--nlist is required for --index_type ivf")
-    index = IVFIndex.build_from_blocks(
-        args.ann_data_dir,
-        args.nlist,
-        storage_dtype=args.storage_dtype,
-        slack=args.slack,
-        iters=args.kmeans_iters,
-        seed=args.seed,
-        train_sample=args.train_sample or None,
-        max_blocks=args.max_blocks or None,
-        pq_m=args.pq_m,
-        opq_iters=args.opq_iters,
-        pack=args.pack_codes,
-    )
+    if args.from_pq_dir:
+        source = PQIndex.load(args.from_pq_dir)
+        index = IVFIndex.from_pq_index(
+            source,
+            args.ann_data_dir,
+            args.nlist,
+            slack=args.slack,
+            iters=args.kmeans_iters,
+            seed=args.seed,
+            train_sample=args.train_sample or None,
+            max_blocks=args.max_blocks or None,
+        )
+    else:
+        index = IVFIndex.build_from_blocks(
+            args.ann_data_dir,
+            args.nlist,
+            storage_dtype=args.storage_dtype,
+            slack=args.slack,
+            iters=args.kmeans_iters,
+            seed=args.seed,
+            train_sample=args.train_sample or None,
+            max_blocks=args.max_blocks or None,
+            pq_m=args.pq_m,
+            opq_iters=args.opq_iters,
+            pack=args.pack_codes,
+        )
     index.save(args.index_dir)
     summary = {
         "index_dir": args.index_dir,

@@ -39,6 +39,10 @@ logger = logging.getLogger(__name__)
 # (B=65536, K=4096 => 512 MB bf16 one-hot) while keeping the MXU fed.
 _KMEANS_BLOCK_ROWS = 65536
 
+# Host-chunk byte cap for streamed assignment inputs (assign_top_t):
+# bounds the resident input slab uploaded per dispatch.
+_ASSIGN_CHUNK_BYTES = int(2 * (1 << 30))
+
 
 def _block_rows_for(n: int, k: int, requested: int) -> int:
     """Cap the scan block so scores f32 + one-hot bf16 stay under ~1.5 GB
@@ -216,13 +220,37 @@ def assign_top_t(
 
     [N, t] int32. The multi-choice output feeds the IVF builder's
     bounded-capacity assignment (spill to the next-nearest list).
+
+    Inputs stream to the device in ~2 GiB host chunks: a single 38M-scale
+    block is 14.6 GB f32 — over v5e HBM by itself — and the assignment
+    matmul runs bf16 regardless, so bf16 / uint16-bit-pattern block rows
+    upload in their own dtype at half the bytes (no host cast).
     """
-    x = np.asarray(x, np.float32)
+    import ml_dtypes
+
+    from convdr_tpu.utils.transfer import device_put_chunked
+
+    x = np.asarray(x)
+    if x.dtype == np.uint16:  # bf16 bit patterns (block-file layout)
+        x = x.view(ml_dtypes.bfloat16)
+    elif x.dtype not in (
+        np.dtype(np.float32), np.dtype(ml_dtypes.bfloat16)
+    ):
+        x = x.astype(np.float32)
     t = min(t, centroids.shape[0])
-    out = _assign_topt_dev(
-        jnp.asarray(x),
-        jnp.asarray(centroids, jnp.float32),
-        t,
-        _block_rows_for(x.shape[0], centroids.shape[0], block_rows),
+    n = x.shape[0]
+    if n == 0:
+        return np.zeros((0, t), np.int32)
+    c_dev = jnp.asarray(centroids, jnp.float32)
+    br = _block_rows_for(n, centroids.shape[0], block_rows)
+    host_chunk = max(
+        br, _ASSIGN_CHUNK_BYTES // max(1, x.itemsize * int(x.shape[1]))
     )
-    return np.asarray(out, np.int32)
+    outs = []
+    for lo in range(0, n, host_chunk):
+        hi = min(n, lo + host_chunk)
+        out = _assign_topt_dev(
+            device_put_chunked(x[lo:hi]), c_dev, t, min(br, hi - lo)
+        )
+        outs.append(np.asarray(out, np.int32))
+    return outs[0] if len(outs) == 1 else np.concatenate(outs)

@@ -66,6 +66,10 @@ PQ_META_FILENAME = "pq_codebooks.npz"
 # encode programs: ~6 bytes per cell, capped ~1.5 GB like ops/kmeans.py.
 _PQ_BUFFER_BYTES = int(1.5 * (1 << 30))
 
+# Byte cap on the device-resident f32 copy of one encode() host chunk
+# (see encode: XLA converts the whole chunk up front).
+_ENCODE_CHUNK_BYTES = int(2 * (1 << 30))
+
 
 def _fit_block_rows(m: int, k: int) -> int:
     return max(256, _PQ_BUFFER_BYTES // (6 * m * k))
@@ -410,8 +414,17 @@ class PQCodec:
         r_dev = (
             jnp.asarray(self.rotation) if self.rotation is not None else None
         )
-        # ~16 scan blocks per dispatch amortizes the tunnel RTT
-        host_chunk = max(1, 16 * _fit_block_rows(self.m, self.ksub))
+        # ~16 scan blocks per dispatch amortizes the tunnel RTT, byte-
+        # capped: XLA materializes the WHOLE uploaded chunk as f32 (the
+        # per-step astype hoists into the scan-input reshape), so an
+        # uncapped 2.8M-row chunk at 38M scale allocated 8 GB f32 +
+        # 4 GB bf16 on device and OOM'd v5e; ~2 GiB of f32 copy keeps
+        # the dispatch peak ~4.5 GB and costs ~55 RTTs per 38M encode
+        # (noise vs the host-feed-bound block reads).
+        host_chunk = max(1, min(
+            16 * _fit_block_rows(self.m, self.ksub),
+            _ENCODE_CHUNK_BYTES // (4 * self.dim),
+        ))
         for lo in range(0, n, host_chunk):
             hi = min(n, lo + host_chunk)
             codes = _pq_assign_dev(

@@ -599,6 +599,107 @@ class IVFIndex:
             packed=pack,
         )
 
+    @classmethod
+    def from_pq_index(
+        cls,
+        pq_index,
+        ann_data_dir: str,
+        nlist: int,
+        *,
+        slack: float = 1.0,
+        iters: int = 20,
+        seed: int = 42,
+        train_sample: Optional[int] = None,
+        max_blocks: Optional[int] = None,
+        centroids: Optional[np.ndarray] = None,
+    ) -> "IVFIndex":
+        """IVFPQ from an already-encoded flat :class:`PQIndex`: reuse its
+        codec and code rows verbatim and add only the coarse structure —
+        ONE streaming pass over the embedding blocks for the k-means fit
+        (block 0, like ``build_from_blocks``) plus per-row assignment,
+        then a permutation of the existing codes into the sub-list slab.
+        The encode — the dominant build cost at scale (~2 h at 38M rows,
+        host-feed bound) — is never repeated; this is the FAISS
+        ``add_core`` / precomputed-codes path. ``ann_data_dir`` must hold
+        the SAME corpus in the SAME block order the PQIndex was built
+        from (validated: row count and per-row payload ids must match).
+        ``centroids`` skips the k-means fit (e.g. reuse a saved coarse
+        quantizer).
+        """
+        from convdr_tpu.retrieval.blocks import iter_embedding_blocks
+
+        codec = pq_index.codec
+        cent = None if centroids is None else np.asarray(
+            centroids, np.float32
+        )
+        quantizer = None
+        assigns: list = []
+        offsets: list = []
+        for block_id, emb, emb2offset in iter_embedding_blocks(
+            ann_data_dir, max_blocks=max_blocks
+        ):
+            if emb.shape[0] == 0:
+                continue
+            if emb.dtype == np.int8:
+                if quantizer is None:
+                    quantizer = Int8Quantizer.load(ann_data_dir)
+                femb = emb.astype(np.float32) * quantizer.scales[None, :]
+            else:
+                femb = np.asarray(emb, np.float32)
+            if cent is None:
+                cent = fit_kmeans(
+                    femb, nlist, iters=iters, seed=seed,
+                    sample_max=train_sample,
+                )
+            assigns.append(assign_top_t(femb, cent, t=1)[:, 0])
+            offsets.append(np.asarray(emb2offset, np.int64).astype(np.int32))
+            logger.info(
+                "ivf from_pq pass block %d: %d rows assigned",
+                block_id, emb.shape[0],
+            )
+        if cent is None:
+            raise FileNotFoundError(
+                f"No embedding blocks found in {ann_data_dir}"
+            )
+        if cent.shape != (nlist, codec.dim):
+            raise ValueError(f"centroids [{nlist}, {codec.dim}] expected")
+        rowids = (
+            np.concatenate(offsets) if offsets else np.zeros(0, np.int32)
+        )
+        if rowids.shape[0] != pq_index.ntotal or not np.array_equal(
+            rowids, pq_index.rowids
+        ):
+            raise ValueError(
+                f"block files in {ann_data_dir} do not match the PQIndex: "
+                f"{rowids.shape[0]} rows / payload ids differ from the "
+                f"index's {pq_index.ntotal} (the codes were encoded from "
+                "a different corpus or block order)"
+            )
+        assign = np.concatenate(assigns)
+        del assigns, offsets
+        n = assign.shape[0]
+        cap = int(np.ceil(slack * n / nlist))
+        cap = max(8, -(-cap // 8) * 8)
+        sub_id, slot, owner, stats = _sublist_layout(assign, nlist, cap)
+        del assign
+        logger.info("ivf from_pq build: %s", stats)
+        width = pq_index.codes.shape[1]
+        n_sub = stats["n_sublists"]
+        flat = np.zeros((n_sub * cap, width), np.uint8)
+        flat_ids = np.full(n_sub * cap, -1, np.int32)
+        pos = sub_id.astype(np.int64) * cap + slot
+        flat[pos] = pq_index.codes
+        flat_ids[pos] = rowids
+        return cls(
+            cent[owner],
+            flat.reshape(n_sub, cap, width),
+            flat_ids.reshape(n_sub, cap),
+            storage_dtype=f"pq{codec.nbits}",
+            codec=codec,
+            stats=stats,
+            packed=pq_index.packed,
+        )
+
     # -- capacity ---------------------------------------------------------
     #: Resident-bytes budget per device for the uploaded list tensor
     #: (lists + centroids + rowids). A v5e has 15.75 GB usable HBM; the

@@ -624,3 +624,55 @@ def test_resolve_length_buckets_validation():
         resolve_length_buckets("", 512, False)
     with pytest.raises(ValueError, match="multi-chunk"):
         resolve_length_buckets("128,512", 512, True)
+
+
+def test_04g_build_ivf_from_pq_dir(workdir):
+    """--from_pq_dir promotes a built flat PQ index to IVFPQ by reusing
+    its codec + codes (one assignment pass, no re-encode — the FAISS
+    precomputed-codes add_core path); the result serves through the
+    driver and full probe + rescore recovers the exact metrics."""
+    from convdr_tpu.drivers import build_ivf_index
+
+    build_ivf_index.main([
+        "--ann_data_dir", str(workdir / "embeddings"),
+        "--index_dir", str(workdir / "pq_src"),
+        "--index_type", "pq",
+        "--pq_m", "8",
+        "--pq_nbits", "4",
+        "--pack_codes",
+        "--kmeans_iters", "6",
+    ])
+    summary = build_ivf_index.main([
+        "--ann_data_dir", str(workdir / "embeddings"),
+        "--index_dir", str(workdir / "ivfpq_from_pq"),
+        "--nlist", "4",
+        "--from_pq_dir", str(workdir / "pq_src"),
+        "--kmeans_iters", "6",
+    ])
+    assert summary["ntotal"] == N_PASSAGES
+    assert summary["storage_dtype"] == "pq4"
+    assert summary["packed"] is True
+
+    def infer(*extra):
+        return run_convdr_inference.main([
+            "--model_path", str(workdir / "model"),
+            "--eval_file", str(workdir / "raw" / "eval_topics.jsonl"),
+            "--model_type", "rdot_nll",
+            "--ann_data_dir", str(workdir / "embeddings"),
+            "--processed_data_dir", str(workdir / "processed"),
+            "--raw_data_dir", str(workdir / "raw"),
+            "--qrels", str(workdir / "raw" / "qrels.tsv"),
+            "--output_query_type", "raw",
+            "--top_n", "10",
+            "--max_concat_length", "48",
+            "--arch_size", "tiny",
+            "--no_mesh",
+            *extra,
+        ])
+
+    base = infer()
+    rescored = infer(
+        "--ivf_dir", str(workdir / "ivfpq_from_pq"), "--nprobe", "999",
+        "--rescore_factor", "3",
+    )
+    assert rescored == pytest.approx(base), (rescored, base)

@@ -68,6 +68,29 @@ def test_assign_top_t_matches_numpy():
     assert got.shape == (300, 3)
 
 
+def test_assign_top_t_host_chunking_and_bf16_inputs(monkeypatch):
+    """The streamed multi-chunk path (38M-scale blocks exceed HBM as one
+    upload) must equal the one-shot path, and uint16 bf16-bit-pattern
+    rows (the block-file layout) must assign like their float values."""
+    import ml_dtypes
+
+    from convdr_tpu.ops import kmeans as km
+
+    rng = np.random.Generator(np.random.PCG64(17))
+    x = rng.standard_normal((1000, 16), dtype=np.float32)
+    c = rng.standard_normal((12, 16), dtype=np.float32)
+    want = assign_top_t(x, c, t=2)
+    # force 2 host chunks of 800 rows (the host chunk floors at one scan
+    # block, so shrink block_rows alongside the byte cap)
+    monkeypatch.setattr(km, "_ASSIGN_CHUNK_BYTES", 4 * x.shape[1] * 800)
+    got = assign_top_t(x, c, t=2, block_rows=100)
+    assert np.array_equal(got, want)
+    xb = x.astype(ml_dtypes.bfloat16)
+    via_u16 = assign_top_t(xb.view(np.uint16), c, t=2)
+    via_bf16 = assign_top_t(xb, c, t=2)
+    assert np.array_equal(via_u16, via_bf16)
+
+
 def test_sublist_layout_invariants():
     rng = np.random.Generator(np.random.PCG64(3))
     n, k, cap = 500, 8, 24
@@ -456,3 +479,65 @@ def test_ivf_capacity_guard_raises_with_sizing_message():
     assert len(jax.devices()) == 8
     s, i = idx.search(x[:2], 3, nprobe=idx.nlist, mesh=mesh)
     assert s.shape == (2, 3)
+
+
+def test_ivf_from_pq_index_reuses_codes_exactly(tmp_path):
+    """from_pq_index (the FAISS precomputed-codes add_core path) must
+    produce an IVFPQ whose full-probe result equals the source flat
+    index's ADC search — same codec, same code rows, only coarse
+    structure added — for both packed and unpacked codes."""
+    from convdr_tpu.retrieval.blocks import write_embedding_block
+    from convdr_tpu.retrieval.pq_index import PQIndex
+
+    rng = np.random.Generator(np.random.PCG64(77))
+    x = rng.standard_normal((600, 16), dtype=np.float32)
+    offsets = np.arange(600, dtype=np.int64) * 3 + 11
+    d = str(tmp_path / "blocks")
+    for b in range(2):
+        write_embedding_block(d, b, x[b::2], offsets[b::2])
+    q = rng.standard_normal((5, 16), dtype=np.float32)
+    for pack in (False, True):
+        flat = PQIndex.build_from_blocks(
+            d, 8, 4, iters=6, seed=1, pack=pack
+        )
+        ivf = IVFIndex.from_pq_index(flat, d, 8, iters=6, seed=0)
+        assert ivf.storage_dtype == "pq4"
+        assert ivf.packed is pack
+        assert ivf.ntotal == flat.ntotal
+        # code rows moved, never re-encoded: multiset of rows identical
+        flat_rows = {bytes(r) for r in np.asarray(flat.codes)}
+        live = ivf.rowids.reshape(-1) >= 0
+        ivf_rows = {
+            bytes(r) for r in ivf.lists.reshape(-1, ivf.lists.shape[2])[live]
+        }
+        assert ivf_rows == flat_rows
+        f_s, f_i = flat.search(q, 10, exact=True)
+        i_s, i_i = ivf.search(q, 10, nprobe=ivf.nlist, exact=True)
+        for row in range(q.shape[0]):
+            assert set(i_i[row].tolist()) == set(f_i[row].tolist())
+        np.testing.assert_allclose(
+            np.sort(i_s, 1), np.sort(f_s, 1), rtol=1e-4, atol=1e-4
+        )
+
+
+def test_ivf_from_pq_index_rejects_mismatched_blocks(tmp_path):
+    from convdr_tpu.retrieval.blocks import write_embedding_block
+    from convdr_tpu.retrieval.pq_index import PQIndex
+
+    rng = np.random.Generator(np.random.PCG64(78))
+    x = rng.standard_normal((200, 16), dtype=np.float32)
+    d_good = str(tmp_path / "good")
+    write_embedding_block(d_good, 0, x, np.arange(200, dtype=np.int64))
+    flat = PQIndex.build_from_blocks(d_good, 8, 4, iters=4, seed=1)
+    # same rows, different payload ids => refuse (codes/blocks disagree)
+    d_bad = str(tmp_path / "bad")
+    write_embedding_block(d_bad, 0, x, np.arange(200, dtype=np.int64) + 7)
+    with pytest.raises(ValueError, match="do not match the PQIndex"):
+        IVFIndex.from_pq_index(flat, d_bad, 8, iters=4, seed=0)
+    # different row count => refuse
+    d_short = str(tmp_path / "short")
+    write_embedding_block(
+        d_short, 0, x[:100], np.arange(100, dtype=np.int64)
+    )
+    with pytest.raises(ValueError, match="do not match the PQIndex"):
+        IVFIndex.from_pq_index(flat, d_short, 8, iters=4, seed=0)
