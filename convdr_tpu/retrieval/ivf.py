@@ -628,6 +628,8 @@ class IVFIndex:
         """
         from convdr_tpu.retrieval.blocks import iter_embedding_blocks
 
+        import ml_dtypes
+
         codec = pq_index.codec
         cent = None if centroids is None else np.asarray(
             centroids, np.float32
@@ -643,15 +645,27 @@ class IVFIndex:
             if emb.dtype == np.int8:
                 if quantizer is None:
                     quantizer = Int8Quantizer.load(ann_data_dir)
-                femb = emb.astype(np.float32) * quantizer.scales[None, :]
+                rows = emb.astype(np.float32) * quantizer.scales[None, :]
             else:
-                femb = np.asarray(emb, np.float32)
+                # raw rows: assign_top_t streams f32/bf16/uint16-bit-
+                # pattern inputs natively — a host f32 cast of a 38M-scale
+                # block (14.6 GB) is pure 1-core waste
+                rows = emb
             if cent is None:
+                sample = rows
+                if train_sample and rows.shape[0] > train_sample:
+                    sel = np.random.Generator(np.random.PCG64(seed)).choice(
+                        rows.shape[0], size=train_sample, replace=False
+                    )
+                    sample = rows[sel]
+                if sample.dtype == np.uint16:
+                    sample = sample.view(ml_dtypes.bfloat16)
                 cent = fit_kmeans(
-                    femb, nlist, iters=iters, seed=seed,
-                    sample_max=train_sample,
+                    np.asarray(sample, np.float32), nlist, iters=iters,
+                    seed=seed, sample_max=train_sample,
                 )
-            assigns.append(assign_top_t(femb, cent, t=1)[:, 0])
+                del sample
+            assigns.append(assign_top_t(rows, cent, t=1)[:, 0])
             offsets.append(np.asarray(emb2offset, np.int64).astype(np.int32))
             logger.info(
                 "ivf from_pq pass block %d: %d rows assigned",

@@ -520,6 +520,32 @@ def test_ivf_from_pq_index_reuses_codes_exactly(tmp_path):
         )
 
 
+def test_ivf_from_pq_index_bf16_blocks(tmp_path):
+    """Promotion over bf16-stored blocks (the 38M scale-cache layout:
+    uint16 bit patterns on disk) — no host f32 cast of the corpus."""
+    import ml_dtypes
+
+    from convdr_tpu.retrieval.blocks import write_embedding_block
+    from convdr_tpu.retrieval.pq_index import PQIndex
+
+    rng = np.random.Generator(np.random.PCG64(79))
+    x = rng.standard_normal((400, 16), dtype=np.float32).astype(
+        ml_dtypes.bfloat16
+    )
+    d = str(tmp_path / "blocks")
+    write_embedding_block(d, 0, x, np.arange(400, dtype=np.int64))
+    flat = PQIndex.build_from_blocks(d, 8, 4, iters=5, seed=1, pack=True)
+    ivf = IVFIndex.from_pq_index(
+        flat, d, 8, iters=5, seed=0, train_sample=256
+    )
+    assert ivf.ntotal == 400 and ivf.packed
+    q = rng.standard_normal((4, 16), dtype=np.float32)
+    f_s, f_i = flat.search(q, 10, exact=True)
+    i_s, i_i = ivf.search(q, 10, nprobe=ivf.nlist, exact=True)
+    for row in range(4):
+        assert set(i_i[row].tolist()) == set(f_i[row].tolist())
+
+
 def test_ivf_from_pq_index_rejects_mismatched_blocks(tmp_path):
     from convdr_tpu.retrieval.blocks import write_embedding_block
     from convdr_tpu.retrieval.pq_index import PQIndex
