@@ -60,6 +60,33 @@ DIM = 768
 N_QUERIES = 512
 
 
+def blocked_oracle_top100(blocks_dir: str, qs: np.ndarray) -> np.ndarray:
+    """Exact top-100 rowids [cq, 100] via one blocked numpy pass, cached
+    on disk (the 38M pass reads ~55 GB; bench_ivfpq_38m reuses it)."""
+    cache = os.path.join(
+        blocks_dir, f"oracle_top{TOP_K}_q{qs.shape[0]}.npy"
+    )
+    if os.path.exists(cache):
+        return np.load(cache)
+    best_s = best_i = None
+    for b, emb, offs in iter_embedding_blocks(blocks_dir):
+        scores = qs @ np.asarray(emb, np.float32).T
+        part = np.argpartition(-scores, TOP_K - 1, axis=1)[:, :TOP_K]
+        ps = np.take_along_axis(scores, part, axis=1)
+        pi = np.asarray(offs)[part]
+        if best_s is None:
+            best_s, best_i = ps, pi
+        else:
+            cs = np.concatenate([best_s, ps], axis=1)
+            ci = np.concatenate([best_i, pi], axis=1)
+            keep = np.argpartition(-cs, TOP_K - 1, axis=1)[:, :TOP_K]
+            best_s = np.take_along_axis(cs, keep, axis=1)
+            best_i = np.take_along_axis(ci, keep, axis=1)
+        print(f"oracle block {b} done", file=sys.stderr)
+    np.save(cache, best_i)
+    return best_i
+
+
 def main():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     ap = argparse.ArgumentParser()
@@ -148,22 +175,7 @@ def main():
         _, i = pq_flat_topk(lut, codes_dev, k_cand, ksub, packed=packed)
         got[k_cand] = np.asarray(i)
     del codes_dev
-    qs = queries[:cq]
-    best_s = best_i = None
-    for b, emb, offs in iter_embedding_blocks(args.blocks_dir):
-        scores = qs @ np.asarray(emb, np.float32).T
-        part = np.argpartition(-scores, TOP_K - 1, axis=1)[:, :TOP_K]
-        ps = np.take_along_axis(scores, part, axis=1)
-        pi = np.asarray(offs)[part]
-        if best_s is None:
-            best_s, best_i = ps, pi
-        else:
-            cs = np.concatenate([best_s, ps], axis=1)
-            ci = np.concatenate([best_i, pi], axis=1)
-            keep = np.argpartition(-cs, TOP_K - 1, axis=1)[:, :TOP_K]
-            best_s = np.take_along_axis(cs, keep, axis=1)
-            best_i = np.take_along_axis(ci, keep, axis=1)
-        print(f"oracle block {b} done", file=sys.stderr)
+    best_i = blocked_oracle_top100(args.blocks_dir, queries[:cq])
     oracle_sets = [set(best_i[r].tolist()) for r in range(cq)]
     # rowids are arange offsets in the scale cache: positions == rowids
     for k_cand, ii in got.items():
