@@ -307,6 +307,12 @@ def bench_scale(
 
     # ---- recall-set contract vs a blocked numpy oracle (subset of queries)
     if check_queries:
+        if device_only:
+            # the contract check compares the real streamed-sweep output;
+            # --device_only skipped it, so run it here UNTIMED (wall/
+            # streamed_qps stay unreported -- the sweep would be timed
+            # next to the oracle's host matmuls otherwise)
+            _, idx = searcher.search_blocks(cache_dir, queries, TOP_K)
         if storage_dtype == "int8":
             # the SQ8 contract: ranking equals the integer oracle. The f32
             # matmul below IS that oracle -- int products summed over 768
@@ -637,7 +643,9 @@ def main():
     parser.add_argument(
         "--device_only", action="store_true",
         help="--scale only: skip the (disk+tunnel-bound) streamed sweep "
-        "and retime only the device-side search rate on existing blocks",
+        "and retime only the device-side search rate on existing blocks "
+        "(with --check_queries the sweep still runs once, untimed -- the "
+        "contract check compares its output)",
     )
     parser.add_argument(
         "--gen_only", action="store_true",

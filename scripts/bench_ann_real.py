@@ -60,9 +60,13 @@ def timed_loop(fn, iters, *arrays):
     return (time.perf_counter() - t0) / iters
 
 
-def encode_eval_queries(workdir: str, model_type: str, arch_size: str):
+def encode_eval_queries(workdir: str, model_type: str, arch_size: str,
+                        max_concat_length: int, max_query_length: int):
     """Student query embeddings for the rehearsal eval topics (the real
-    serving queries), via the inference driver's encode path."""
+    serving queries), via the inference driver's encode path. Length caps
+    must match the rehearsal's serving point (96/32 defaults) — a wider
+    concat cap would pull in MORE history turns than the checkpoint was
+    evaluated with."""
     from types import SimpleNamespace
 
     from convdr_tpu.drivers.run_convdr_inference import encode_queries
@@ -73,8 +77,8 @@ def encode_eval_queries(workdir: str, model_type: str, arch_size: str):
         gelu="auto",
         dtype="float32",
         query="no_res",
-        max_concat_length=256,
-        max_query_length=64,
+        max_concat_length=max_concat_length,
+        max_query_length=max_query_length,
         per_gpu_eval_batch_size=16,
     )
     _qids, embs, _raw = encode_queries(
@@ -98,6 +102,9 @@ def main():
     ap.add_argument("--nprobes", default="4,8,16,32,64")
     ap.add_argument("--pq_m", type=int, default=96)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--max_concat_length", type=int, default=96,
+                    help="match the rehearsal run's serving cap")
+    ap.add_argument("--max_query_length", type=int, default=32)
     args = ap.parse_args()
     logging.basicConfig(level=logging.INFO)
 
@@ -111,7 +118,8 @@ def main():
     del parts
     n_rows, dim = corpus.shape
     queries = encode_eval_queries(
-        args.workdir, args.model_type, args.arch_size
+        args.workdir, args.model_type, args.arch_size,
+        args.max_concat_length, args.max_query_length,
     ).astype(np.float32)
     q_n = queries.shape[0]
     print(json.dumps({
