@@ -76,9 +76,12 @@ def get_arguments(argv=None):
     parser.add_argument(
         "--opq_iters", type=int, default=0,
         help="PQ/pq4/pq8: alternating-optimization iterations for the OPQ "
-        "rotation (0 = plain PQ). ~10 lifts coarse-code recall at a "
-        "one-time training cost; search speed is unchanged (the rotation "
-        "folds into encode/query LUTs)",
+        "rotation (0 = plain PQ). RECOMMENDED ~6 for real encoder "
+        "embeddings -- measured 0.19 -> 0.56 recall@100 for flat pq4 on "
+        "rehearsal embeddings (correlated learned dims are exactly what "
+        "the rotation fixes; on synthetic isotropic mixtures it does "
+        "nothing). One-time training cost; search speed is unchanged "
+        "(the rotation folds into encode/query LUTs)",
     )
     parser.add_argument(
         "--pack_codes", action="store_true",

@@ -38,6 +38,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from convdr_tpu.ops.exact_search import flat_ip_topk
 from convdr_tpu.ops.pq import PQCodec, pq_flat_topk
+from convdr_tpu.ops.quant import rescore_candidates
 from convdr_tpu.retrieval.blocks import iter_embedding_blocks
 from convdr_tpu.retrieval.ivf import IVFIndex, _ivf_search_dev
 from convdr_tpu.utils.transfer import device_put_chunked
@@ -105,6 +106,12 @@ def main():
     ap.add_argument("--max_concat_length", type=int, default=96,
                     help="match the rehearsal run's serving cap")
     ap.add_argument("--max_query_length", type=int, default=32)
+    ap.add_argument("--opq_iters", type=int, default=0,
+                    help="also measure an OPQ-rotated pq4 codec "
+                    "(real-embedding dims are correlated — the regime "
+                    "OPQ exists for)")
+    ap.add_argument("--sections", default="ivf,pq,ivfpq",
+                    help="comma list of benchmark sections to run")
     args = ap.parse_args()
     logging.basicConfig(level=logging.INFO)
 
@@ -144,8 +151,20 @@ def main():
 
     nlist = args.nlist or max(64, n_rows // 64)
     nprobes = [int(x) for x in args.nprobes.split(",")]
+    sections = set(args.sections.split(","))
 
-    # ---- IVF-int8 -------------------------------------------------------
+    if "ivf" in sections:
+        _bench_ivf_int8(args, corpus, queries, q_dev, recall, nlist, nprobes)
+    if "pq" in sections:
+        _bench_flat_pq(args, corpus, queries, recall, dim, n_rows, q_n)
+    if "ivfpq" in sections:
+        _bench_ivfpq(args, corpus, queries, q_dev, recall, nlist, nprobes,
+                     dim, n_rows, q_n)
+
+
+def _bench_ivf_int8(args, corpus, queries, q_dev, recall, nlist, nprobes):
+    n_rows = corpus.shape[0]
+    q_n = queries.shape[0]
     idx = IVFIndex.build(
         corpus, nlist, storage_dtype="int8", slack=1.25, iters=15, seed=0,
         train_sample=min(n_rows, 262144),
@@ -175,40 +194,79 @@ def main():
             "qps": round(q_n / dt, 1),
             "recall_at_100": round(recall(np.asarray(i)), 4),
         }), flush=True)
-    del cent, lists_dev, rid_dev, idx
 
-    # ---- flat PQ (pq4 + pq8) -------------------------------------------
+
+def _bench_flat_pq(args, corpus, queries, recall, dim, n_rows, q_n):
+    # ---- flat PQ (pq4 + pq8, plain and OPQ) ------------------------------
+    # OPQ was closed as not-worth-it on the SYNTHETIC mixture (+0.002 at
+    # pq4); real embedding dims are correlated (learned features), the
+    # regime a rotation can actually help — measure it where it matters.
     for nbits in (4, 8):
-        m = args.pq_m if dim % args.pq_m == 0 else dim // 8
-        codec = PQCodec.fit(corpus, m, nbits, iters=15, seed=0)
-        codes_dev = device_put_chunked(codec.encode(corpus), jnp.uint8)
-        lut = jnp.asarray(codec.lut(queries))
-        for k_cand in (TOP_K, 5 * TOP_K):
-            _, i = pq_flat_topk(lut, codes_dev, k_cand, codec.ksub)
-            print(json.dumps({
-                "bench": "pq_real", "n_rows": n_rows, "m": m,
-                "nbits": nbits, "Q": q_n, "k_cand": k_cand,
-                "recall_exact_top100": round(recall(np.asarray(i)), 4),
-            }), flush=True)
-        del codes_dev
+        for opq_iters in (0, args.opq_iters):
+            if nbits == 8 and opq_iters:
+                continue  # pq8+OPQ measured once on synthetic; keep runs short
+            m = args.pq_m if dim % args.pq_m == 0 else dim // 8
+            codec = PQCodec.fit(
+                corpus, m, nbits, iters=15, seed=0, opq_iters=opq_iters
+            )
+            codes_dev = device_put_chunked(codec.encode(corpus), jnp.uint8)
+            lut = jnp.asarray(codec.lut(queries))
+            for k_cand in (TOP_K, 5 * TOP_K):
+                _, i = pq_flat_topk(lut, codes_dev, k_cand, codec.ksub)
+                print(json.dumps({
+                    "bench": "pq_real", "n_rows": n_rows, "m": m,
+                    "nbits": nbits, "opq_iters": opq_iters, "Q": q_n,
+                    "k_cand": k_cand,
+                    "recall_exact_top100": round(recall(np.asarray(i)), 4),
+                }), flush=True)
+            del codes_dev
+            if not args.opq_iters:
+                break
 
-    # ---- IVFPQ (pq4 lists) ---------------------------------------------
+
+def _bench_ivfpq(args, corpus, queries, q_dev, recall, nlist, nprobes,
+                 dim, n_rows, q_n):
+    # ---- IVFPQ (pq4 lists, plain and OPQ codec) -------------------------
     m = args.pq_m if dim % args.pq_m == 0 else dim // 8
-    idx = IVFIndex.build(
-        corpus, nlist, storage_dtype="pq4", pq_m=m, slack=1.25,
-        iters=15, seed=0, train_sample=min(n_rows, 262144),
-    )
-    cent, lists_dev, rid_dev = idx._device_arrays()
-    lut = jnp.asarray(idx.codec.lut(queries))
-    for nprobe in nprobes:
-        _s, i = _ivf_search_dev(
-            q_dev, lut, cent, lists_dev, rid_dev, TOP_K, nprobe
+    for opq_iters in (0, args.opq_iters):
+        idx = IVFIndex.build(
+            corpus, nlist, storage_dtype="pq4", pq_m=m, slack=1.25,
+            iters=15, seed=0, train_sample=min(n_rows, 262144),
+            opq_iters=opq_iters,
         )
-        print(json.dumps({
-            "bench": "ivfpq_real", "n_rows": n_rows, "nlist": nlist,
-            "storage": "pq4", "Q": q_n, "nprobe": nprobe,
-            "recall_at_100": round(recall(np.asarray(i)), 4),
-        }), flush=True)
+        cent, lists_dev, rid_dev = idx._device_arrays()
+        lut = jnp.asarray(idx.codec.lut(queries))
+        for nprobe in nprobes:
+            _s, i = _ivf_search_dev(
+                q_dev, lut, cent, lists_dev, rid_dev, TOP_K, nprobe
+            )
+            print(json.dumps({
+                "bench": "ivfpq_real", "n_rows": n_rows, "nlist": nlist,
+                "storage": "pq4", "opq_iters": opq_iters, "Q": q_n,
+                "nprobe": nprobe,
+                "recall_at_100": round(recall(np.asarray(i)), 4),
+            }), flush=True)
+            # rescore_factor float re-ranking (the recommended IVFPQ
+            # lever; rows are in host memory here, so this is the cheap
+            # rescore_candidates path, not a block-file pass)
+            for factor in (2, 5):
+                _cs, ci = _ivf_search_dev(
+                    q_dev, lut, cent, lists_dev, rid_dev,
+                    factor * TOP_K, nprobe,
+                )
+                _rs, ri = rescore_candidates(
+                    queries, corpus, np.asarray(ci), TOP_K
+                )
+                print(json.dumps({
+                    "bench": "ivfpq_real", "n_rows": n_rows,
+                    "nlist": nlist, "storage": "pq4",
+                    "opq_iters": opq_iters, "Q": q_n, "nprobe": nprobe,
+                    "rescore_factor": factor,
+                    "recall_at_100": round(recall(ri), 4),
+                }), flush=True)
+        del cent, lists_dev, rid_dev, idx
+        if not args.opq_iters:
+            break
 
 
 if __name__ == "__main__":
