@@ -310,3 +310,27 @@ def test_flat_topk_packed_rejects_pq8(codec_problem):
     lut = jnp.zeros((2, 8, 256), jnp.float32)
     with pytest.raises(ValueError, match="nbits=4 only"):
         pq_flat_topk(lut, jnp.asarray(codes[:, :4]), 5, 256, packed=True)
+
+
+def test_opq_lifts_candidate_recall_on_correlated_data():
+    """The round-4 real-embedding finding, as a contract: on CORRELATED
+    data (learned-encoder-like geometry) the OPQ rotation must lift pq4
+    candidate recall, not just reconstruction error (measured on real
+    rehearsal embeddings: flat pq4 recall@100 0.186 -> 0.556, PARITY.md
+    'ANN recall on real encoder embeddings')."""
+    rng = np.random.RandomState(41)
+    x = correlated(rng, n=2500)
+    q = correlated(rng, n=24)[:16]
+    k = 10
+    _, exact_i = topk_oracle(q.astype(np.float32), x.astype(np.float32), k)
+
+    def recall(codec):
+        codes = codec.encode(x)
+        _, i = pq_adc_oracle(codec.lut(q), codes, k)
+        return np.mean([
+            len(set(i[r]) & set(exact_i[r])) / k for r in range(q.shape[0])
+        ])
+
+    plain = recall(PQCodec.fit(x, m=8, nbits=4, iters=10, seed=3))
+    opq = recall(PQCodec.fit(x, m=8, nbits=4, iters=10, seed=3, opq_iters=6))
+    assert opq >= plain + 0.05, (plain, opq)
