@@ -271,9 +271,11 @@ def main(argv=None):
         )
         with PhaseTimer("search"), profile_trace(args.profile_dir):
             if args.rescore_factor > 0:
-                # ADC proposes, one streaming block pass refines (FAISS
-                # IndexRefineFlat). search() returns rowids; the block
-                # pass needs ROW POSITIONS, so run the ADC scan directly.
+                # ADC proposes, candidate-proportional refine re-ranks
+                # (FAISS IndexRefineFlat — random-access row gather,
+                # retrieval/refine.py; streaming fallback for unreadable
+                # block formats). search() returns rowids; the refine
+                # needs ROW POSITIONS, so run the ADC scan directly.
                 from convdr_tpu.ops.pq import pq_flat_topk
 
                 lut = jnp.asarray(index.codec.lut(query_embs))
@@ -284,7 +286,7 @@ def main(argv=None):
                     index.codec.ksub,
                     packed=index.packed,
                 )
-                scores, offsets = index.rescore_block_pass(
+                scores, offsets = index.rescore(
                     args.ann_data_dir, query_embs, np.asarray(pos),
                     args.top_n,
                 )
@@ -305,14 +307,29 @@ def main(argv=None):
         with PhaseTimer("search"), profile_trace(args.profile_dir):
             # rowids were packed from emb2offset, so these ARE offsets
             if args.rescore_factor > 0:
-                # quantized probe proposes, one streaming block pass
-                # refines (FAISS IndexIVFPQ + IndexRefineFlat — the
-                # recall-recovery lever for codec-capped PQ lists)
+                if index.storage_dtype in ("int8", "bfloat16"):
+                    # Measured no-op for ranking quality (PARITY.md
+                    # serving table: SQ8 list scores are already
+                    # f32-grade; bf16 reorders ~0.3% of top-100). Cheap
+                    # now that the refine is candidate-proportional, but
+                    # flag it so deployments don't think it buys recall.
+                    logger.warning(
+                        "--rescore_factor on an IVF index with %s lists "
+                        "is a measured ranking no-op (the quantized list "
+                        "scores already match float ranking); it only "
+                        "costs a candidate-row refine. Drop it unless "
+                        "you need exact float scores in the run file.",
+                        index.storage_dtype,
+                    )
+                # quantized probe proposes, candidate-proportional
+                # refine re-ranks (FAISS IndexIVFPQ + IndexRefineFlat —
+                # the recall-recovery lever for codec-capped PQ lists;
+                # random-access row gather, retrieval/refine.py)
                 _s, cand = index.search(
                     query_embs, args.rescore_factor * args.top_n,
                     nprobe=args.nprobe, mesh=mesh,
                 )
-                scores, offsets = index.rescore_block_pass(
+                scores, offsets = index.rescore(
                     args.ann_data_dir, query_embs, cand, args.top_n
                 )
             else:

@@ -120,6 +120,16 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int64,
         ]
+        lib.convdr_gather_rows.restype = ctypes.c_int
+        lib.convdr_gather_rows.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_int,
+        ]
         lib.convdr_merge_topk.restype = None
         lib.convdr_merge_topk.argtypes = [
             ctypes.POINTER(ctypes.c_float),
@@ -241,6 +251,45 @@ def read_native_block(
         ).reshape(rows, dim)
         ids = np.frombuffer(f.read(rows * 8), np.int64)
         return emb.copy(), ids.copy()
+
+
+def gather_file_rows(
+    path: str,
+    payload_off: int,
+    dtype: np.dtype,
+    dim: int,
+    row_idx: np.ndarray,
+    *,
+    num_threads: int = 4,
+) -> np.ndarray:
+    """Read only the listed rows of a flat row-major [N, dim] payload that
+    starts at byte ``payload_off`` of ``path`` (the random-access primitive
+    behind candidate-proportional rescoring, retrieval/refine.py). Native
+    path coalesces consecutive rows into single preads; the fallback is an
+    ``np.memmap`` fancy-index read (same bytes, OS page cache)."""
+    dtype = np.dtype(dtype)
+    row_idx = np.ascontiguousarray(row_idx, np.int64)
+    out = np.empty((row_idx.shape[0], dim), dtype)
+    if row_idx.shape[0] == 0:
+        return out
+    row_bytes = dim * dtype.itemsize
+    lib = _load()
+    if lib is not None:
+        rc = lib.convdr_gather_rows(
+            path.encode(), payload_off, row_bytes, _ip(row_idx),
+            row_idx.shape[0], out.ctypes.data, num_threads,
+        )
+        if rc != 0:
+            raise IOError(f"convdr_gather_rows({path}) failed: rc={rc}")
+        return out
+    file_rows = (os.path.getsize(path) - payload_off) // row_bytes
+    mm = np.memmap(
+        path, dtype=dtype, mode="r", offset=payload_off,
+        shape=(file_rows, dim),
+    )
+    out[:] = mm[row_idx]
+    del mm
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -907,6 +907,48 @@ class IVFIndex:
             out_i.append(i)
         return np.concatenate(out_s), np.concatenate(out_i)
 
+    def rescore(
+        self,
+        ann_data_dir: str,
+        queries: np.ndarray,
+        cand_ids: np.ndarray,
+        k: int,
+        *,
+        max_blocks: Optional[int] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Refine candidates at O(candidates) disk cost when the block
+        directory supports random access (native .cnb or protocol-4 pickle
+        blocks — retrieval/refine.py), falling back to the one-pass
+        streaming :meth:`rescore_block_pass` otherwise. Outputs are
+        bit-identical either way. The RefineStore (id maps + payload
+        offsets) is cached per directory across calls."""
+        store = self._refine_store(ann_data_dir, max_blocks)
+        if store is not None:
+            return store.refine_by_value(queries, cand_ids, k)
+        return self.rescore_block_pass(
+            ann_data_dir, queries, cand_ids, k, max_blocks=max_blocks
+        )
+
+    def _refine_store(self, ann_data_dir: str, max_blocks):
+        key = (os.path.abspath(ann_data_dir), max_blocks)
+        cache = getattr(self, "_refine_stores", None)
+        if cache is None:
+            cache = self._refine_stores = {}
+        if key not in cache:
+            from convdr_tpu.retrieval.refine import RefineStore
+
+            try:
+                cache[key] = RefineStore.open(
+                    ann_data_dir, self.dim, max_blocks=max_blocks
+                )
+            except (ValueError, OSError) as e:
+                logger.warning(
+                    "no random-access refine for %s (%s); falling back to "
+                    "the streaming block pass", ann_data_dir, e,
+                )
+                cache[key] = None
+        return cache[key]
+
     def rescore_block_pass(
         self,
         ann_data_dir: str,
@@ -977,12 +1019,18 @@ class IVFIndex:
             s = np.einsum("cd,cd->c", rows, q[qi], dtype=np.float32)
             np.maximum.at(scores, (qi, slot), s)
             # multi-chunk: extra rows under the same rowid, max-combined
+            # (einsum like the first-row batch, so every row's score is
+            # computed with identical numerics — RefineStore.refine_by_value
+            # relies on this for bit-parity, max being order-independent)
             extra = hit & (right - left > 1)
             for eq, es in zip(*np.nonzero(extra)):
                 for r in range(left[eq, es] + 1, right[eq, es]):
-                    s2 = float(
-                        block_rows(np.array([r]))[0] @ q[eq]
-                    )
+                    s2 = np.einsum(
+                        "cd,cd->c",
+                        block_rows(np.array([r])),
+                        q[eq][None, :],
+                        dtype=np.float32,
+                    )[0]
                     scores[eq, es] = max(scores[eq, es], s2)
         if not saw_block:
             raise FileNotFoundError(

@@ -322,6 +322,61 @@ class PQIndex:
         ids = np.where(pos >= 0, self.rowids[np.clip(pos, 0, None)], -1)
         return s.astype(np.float32), ids.astype(np.int32)
 
+    def rescore(
+        self,
+        ann_data_dir: str,
+        queries: np.ndarray,
+        cand_pos: np.ndarray,
+        k: int,
+        *,
+        max_blocks: Optional[int] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Refine ADC candidates at O(candidates) disk cost when the block
+        directory supports random access (native .cnb or protocol-4 pickle
+        blocks — retrieval/refine.py), falling back to the one-pass
+        streaming :meth:`rescore_block_pass` otherwise. Same positional
+        candidate contract; bit-identical outputs either way."""
+        sizes = self.stats.get("block_sizes")
+        if not sizes:
+            raise ValueError(
+                "rescore needs stats['block_sizes'] (an index from "
+                "build_from_blocks)"
+            )
+        store = self._refine_store(ann_data_dir, max_blocks)
+        if store is not None:
+            out_s, out_p = store.refine_positional(
+                queries, cand_pos, k, block_sizes=sizes
+            )
+            ids = np.where(
+                out_p >= 0,
+                self.rowids[np.clip(out_p.astype(np.int64), 0, None)],
+                -1,
+            )
+            return out_s, ids.astype(np.int32)
+        return self.rescore_block_pass(
+            ann_data_dir, queries, cand_pos, k, max_blocks=max_blocks
+        )
+
+    def _refine_store(self, ann_data_dir: str, max_blocks):
+        key = (os.path.abspath(ann_data_dir), max_blocks)
+        cache = getattr(self, "_refine_stores", None)
+        if cache is None:
+            cache = self._refine_stores = {}
+        if key not in cache:
+            from convdr_tpu.retrieval.refine import RefineStore
+
+            try:
+                cache[key] = RefineStore.open(
+                    ann_data_dir, self.dim, max_blocks=max_blocks
+                )
+            except (ValueError, OSError) as e:
+                logger.warning(
+                    "no random-access refine for %s (%s); falling back to "
+                    "the streaming block pass", ann_data_dir, e,
+                )
+                cache[key] = None
+        return cache[key]
+
     def rescore_block_pass(
         self,
         ann_data_dir: str,
@@ -354,6 +409,7 @@ class PQIndex:
         pos = np.asarray(cand_pos, np.int64)
         scores = np.full(pos.shape, NEG_INF, np.float32)
         bi = 0
+        quantizer = None
         for block_id, emb, _e2o in iter_embedding_blocks(
             ann_data_dir, max_blocks=max_blocks
         ):
@@ -365,9 +421,17 @@ class PQIndex:
             if not in_block.any():
                 continue
             qi, slot = np.nonzero(in_block)
-            rows = np.asarray(
-                emb[pos[qi, slot] - lo], np.float32
-            )  # [C, D]
+            rows = emb[pos[qi, slot] - lo]  # [C, D]
+            if rows.dtype == np.int8:
+                # SQ8 blocks dequantize through the scales sidecar (same
+                # contract as IVFIndex.rescore_block_pass)
+                if quantizer is None:
+                    from convdr_tpu.ops.quant import Int8Quantizer
+
+                    quantizer = Int8Quantizer.load(ann_data_dir)
+                rows = rows.astype(np.float32) * quantizer.scales[None, :]
+            else:
+                rows = np.asarray(rows, np.float32)
             scores[qi, slot] = np.einsum(
                 "cd,cd->c", rows, q[qi], dtype=np.float32
             )

@@ -17,6 +17,9 @@
 //
 // C ABI only; consumed from Python via ctypes (no pybind11 in this image).
 
+#include <fcntl.h>
+#include <unistd.h>
+
 #include <algorithm>
 #include <atomic>
 #include <cstdint>
@@ -152,6 +155,59 @@ int convdr_read_block(const char* path, float* emb_out, int64_t* ids_out,
                       int64_t rows, int64_t dim, int num_threads) {
   return convdr_read_block_ex(path, emb_out, ids_out, rows, dim, 0,
                               num_threads);
+}
+
+// Candidate-proportional row gather: read only the listed rows from a flat
+// row-major payload at `payload_off` inside `path` (a .cnb block past its
+// 32-byte header, or a pickled numpy block past its located BINBYTES
+// payload offset — retrieval/refine.py finds both). This is the disk-side
+// half of FAISS IndexRefineFlat's random-access refine semantics
+// (/root/reference/drivers/run_convdr_inference.py:353 reaches it through
+// the faiss wheel): a rescore touches O(candidates) bytes, not O(corpus).
+// Runs of consecutive row indices coalesce into single preads; the index
+// list is split across threads. Thread-safe via pread (no shared offset).
+int convdr_gather_rows(const char* path, int64_t payload_off,
+                       int64_t row_bytes, const int64_t* row_idx, int64_t n,
+                       void* out, int num_threads) {
+  if (n == 0) return 0;
+  if (num_threads < 1) num_threads = 1;
+  if (num_threads > n) num_threads = static_cast<int>(n);
+  int fd = ::open(path, O_RDONLY);
+  if (fd < 0) return 1;
+  std::atomic<int> err{0};
+
+  auto gather_range = [&](int64_t lo, int64_t hi) {
+    char* dst = reinterpret_cast<char*>(out) + lo * row_bytes;
+    int64_t i = lo;
+    while (i < hi && !err.load(std::memory_order_relaxed)) {
+      int64_t run = 1;  // coalesce consecutive source rows into one pread
+      while (i + run < hi && row_idx[i + run] == row_idx[i] + run) ++run;
+      int64_t want = run * row_bytes;
+      int64_t off = payload_off + row_idx[i] * row_bytes;
+      char* p = dst;
+      while (want > 0) {
+        ssize_t got = ::pread(fd, p, static_cast<size_t>(want), off);
+        if (got <= 0) { err.store(2); break; }
+        p += got;
+        off += got;
+        want -= got;
+      }
+      dst += run * row_bytes;
+      i += run;
+    }
+  };
+
+  std::vector<std::thread> workers;
+  const int64_t chunk = (n + num_threads - 1) / num_threads;
+  for (int t = 1; t < num_threads; ++t) {
+    const int64_t lo = t * chunk;
+    if (lo >= n) break;
+    workers.emplace_back(gather_range, lo, std::min(n, lo + chunk));
+  }
+  gather_range(0, std::min(n, chunk));
+  for (auto& w : workers) w.join();
+  ::close(fd);
+  return err.load();
 }
 
 // ---------------------------------------------------------------------------

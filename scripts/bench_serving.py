@@ -45,6 +45,8 @@ DEFAULT_CONFIGS = [
     ("ivf_np8", "ivf_int8", ["--nprobe", "8"]),
     ("ivf_np32", "ivf_int8", ["--nprobe", "32"]),
     ("ivf_np64", "ivf_int8", ["--nprobe", "64"]),
+    ("ivf_np8_f2", "ivf_int8",
+     ["--nprobe", "8", "--rescore_factor", "2"]),
     ("ivf_np32_f2", "ivf_int8",
      ["--nprobe", "32", "--rescore_factor", "2"]),
     ("ivfpq_np8", "ivfpq_opq", ["--nprobe", "8"]),
@@ -76,8 +78,11 @@ def parse_metrics(stdout: str) -> dict:
 
 def build_index(args, key: str) -> str:
     index_dir = os.path.join(args.workdir, f"serving_idx_{key}")
-    if os.path.exists(os.path.join(index_dir, "meta.json")):
-        return index_dir
+    # IVFIndex.save writes ivf_meta.json, PQIndex pq_index_meta.json —
+    # either marks a completed build worth reusing.
+    for marker in ("ivf_meta.json", "pq_index_meta.json"):
+        if os.path.exists(os.path.join(index_dir, marker)):
+            return index_dir
     cmd = [
         sys.executable, "-m", "convdr_tpu.drivers.build_ivf_index",
         "--ann_data_dir", os.path.join(args.workdir, "embeddings"),
@@ -102,7 +107,7 @@ def run_config(args, tag: str, index_dir: str, extra: list) -> dict:
         "--qrels", os.path.join(wd, "raw", "qrels.tsv"),
         "--top_n", str(args.top_n),
         "--max_concat_length", str(args.max_concat_length),
-        "--max_query_length", "64",
+        "--max_query_length", str(args.max_query_length),
         "--per_gpu_eval_batch_size", "32",
         "--model_type", args.model_type, "--dtype", "bfloat16",
         "--model_path", os.path.join(wd, "model"),
@@ -132,7 +137,12 @@ def main():
                     "rehearsal corpus; match bench_ann_real)")
     ap.add_argument("--slack", type=float, default=1.25)
     ap.add_argument("--top_n", type=int, default=100)
-    ap.add_argument("--max_concat_length", type=int, default=256)
+    # Caps MUST match the rehearsal's serving point (rehearsal.py defaults
+    # 96/32): a wider concat cap pulls in more history turns than the
+    # checkpoint was trained/evaluated with, confounding any comparison
+    # against bench_ann_real's recall table on the same workdir.
+    ap.add_argument("--max_concat_length", type=int, default=96)
+    ap.add_argument("--max_query_length", type=int, default=32)
     ap.add_argument("--model_type", default="rdot_nll")
     ap.add_argument("--tags", default="",
                     help="comma-separated subset of config tags to run")

@@ -368,6 +368,60 @@ def test_04f_inference_driver_ivfpq_rescore(workdir):
         infer("--rescore_factor", "2")
 
 
+def test_04h_ivf_int8_rescore_warns_noop(workdir, caplog):
+    """--rescore_factor on int8 IVF lists warns that it is a measured
+    ranking no-op (SQ8 list scores are already f32-grade, PARITY.md
+    serving table) but still refines — candidate-proportional now, so it
+    only costs the candidate-row reads — and full coverage reproduces the
+    exact metrics."""
+    import logging
+
+    from convdr_tpu.drivers import build_ivf_index
+
+    build_ivf_index.main([
+        "--ann_data_dir", str(workdir / "embeddings"),
+        "--index_dir", str(workdir / "ivf_int8"),
+        "--nlist", "4",
+        "--storage_dtype", "int8",
+        "--kmeans_iters", "6",
+    ])
+
+    def infer(*extra):
+        return run_convdr_inference.main([
+            "--model_path", str(workdir / "model"),
+            "--eval_file", str(workdir / "raw" / "eval_topics.jsonl"),
+            "--model_type", "rdot_nll",
+            "--ann_data_dir", str(workdir / "embeddings"),
+            "--processed_data_dir", str(workdir / "processed"),
+            "--raw_data_dir", str(workdir / "raw"),
+            "--qrels", str(workdir / "raw" / "qrels.tsv"),
+            "--output_query_type", "raw",
+            "--top_n", "10",
+            "--max_concat_length", "48",
+            "--arch_size", "tiny",
+            "--no_mesh",
+            *extra,
+        ])
+
+    base = infer()
+    with caplog.at_level(
+        logging.WARNING, logger="convdr_tpu.drivers.run_convdr_inference"
+    ):
+        rescored = infer(
+            "--ivf_dir", str(workdir / "ivf_int8"), "--nprobe", "999",
+            "--rescore_factor", "3",
+        )
+    assert any("ranking no-op" in r.getMessage() for r in caplog.records)
+    assert rescored == pytest.approx(base), (rescored, base)
+    # without --rescore_factor no warning fires
+    caplog.clear()
+    with caplog.at_level(
+        logging.WARNING, logger="convdr_tpu.drivers.run_convdr_inference"
+    ):
+        infer("--ivf_dir", str(workdir / "ivf_int8"), "--nprobe", "999")
+    assert not any("ranking no-op" in r.getMessage() for r in caplog.records)
+
+
 def test_05_cross_validation_drivers(workdir):
     """5-fold CV surface: fold files, per-fold models, fold inference."""
     raw = workdir / "raw"
