@@ -15,7 +15,16 @@ headline metrics in-process from the same inputs (a TREC run + qrels):
 Inputs mirror the framework's native structures: a run is
 ``{qid: [(pid, score), ...]}`` ranked best-first, qrels is
 ``{qid: {pid: rel}}`` (from :func:`convdr_tpu.data.collection.load_qrels`).
-Only queries present in the qrels contribute (trec_eval behavior).
+Only queries present in the qrels contribute, and — matching trec_eval's
+``num_q`` accounting — a judged query with NO rel>0 document is excluded
+from evaluation entirely rather than contributing zeros (trec_eval skips
+num_rel==0 topics; ``load_qrels`` additionally never creates such topics,
+reproducing the reference loader's first-positive-line quirk).
+
+The conventions are pinned by committed golden fixtures with hand-derived
+expected values: ``tests/fixtures/metrics_golden/`` (see DERIVATION.md
+there for the worked arithmetic straight from trec_eval's documented
+formulas).
 """
 
 from __future__ import annotations
@@ -74,7 +83,9 @@ def evaluate_run(
     out: Dict[str, Dict[str, float]] = {}
     for qid, ranked in run.items():
         rels = qrels.get(str(qid))
-        if not rels:
+        if not rels or not any(r > 0 for r in rels.values()):
+            # unjudged queries AND judged-but-no-relevant queries are
+            # excluded (trec_eval num_q counts only num_rel>0 topics)
             continue
         pids = [pid for pid, _score in ranked]
         m: Dict[str, float] = {"mrr": mrr(pids, rels), "map": average_precision(pids, rels)}

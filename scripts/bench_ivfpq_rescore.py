@@ -168,13 +168,20 @@ def main():
                 q_dev, lut_all, cent, lists_dev, rid_dev, k_cand, nprobe
             )
             cand = np.asarray(cand)
-            rescore_s = None
+            rescore_s = refine_s = None
             if factor > 0:
+                # the candidate-proportional refine (retrieval/refine.py,
+                # the driver's default) vs the one-pass streaming rescore
+                # it replaced — outputs must match bit for bit
+                t0 = time.perf_counter()
+                _rf, got_f = index.rescore(blocks_dir, queries, cand, TOP_K)
+                refine_s = time.perf_counter() - t0
                 t0 = time.perf_counter()
                 _rs, got = index.rescore_block_pass(
                     blocks_dir, queries, cand, TOP_K
                 )
                 rescore_s = time.perf_counter() - t0
+                assert np.array_equal(got, got_f), "refine != streaming"
             else:
                 got = cand[:, :TOP_K]
             recall = float(np.mean([
@@ -202,7 +209,11 @@ def main():
                 "probe_qps": round(args.q / dt, 1),
                 **({
                     "rescore_wall_s": round(rescore_s, 3),
+                    "refine_wall_s": round(refine_s, 3),
                     "combined_qps_1core_host": round(args.q / total, 1),
+                    "combined_qps_refine": round(
+                        args.q / (dt + refine_s), 1
+                    ),
                 } if rescore_s is not None else {}),
             }), flush=True)
 

@@ -58,6 +58,42 @@ def test_evaluate_run_and_mean():
     assert means["mrr"] == 1.0
 
 
+def test_evaluate_run_skips_no_relevant_topics():
+    """trec_eval excludes num_rel==0 topics from num_q: a judged query
+    whose judgments are all rel<=0 contributes nothing (not zeros)."""
+    qrels = {"q1": {1: 2}, "q0": {5: 0, 6: 0}}
+    run = {"q1": [(1, 2.0)], "q0": [(5, 1.0)]}
+    per_q = evaluate_run(run, qrels)
+    assert set(per_q) == {"q1"}
+    assert mean_metrics(per_q)["mrr"] == 1.0
+
+
+def test_golden_fixture():
+    """The committed run+qrels golden: values hand-derived from
+    trec_eval's documented formulas (fixtures/metrics_golden/DERIVATION.md
+    shows the full arithmetic). Loads through the REAL parsers so loader
+    quirks (first-positive-line topic creation) are pinned too."""
+    import json
+    import os
+
+    from convdr_tpu.data.collection import load_qrels
+
+    fdir = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "metrics_golden")
+    run = parse_trec_run(os.path.join(fdir, "run.trec"))
+    qrels = load_qrels(os.path.join(fdir, "qrels.tsv"))
+    with open(os.path.join(fdir, "expected.json")) as f:
+        expected = json.load(f)
+    per_q = evaluate_run(run, qrels, ndcg_cuts=(3,), recall_cuts=(2, 100))
+    assert set(per_q) == set(expected["per_query"])
+    for qid, wants in expected["per_query"].items():
+        for metric, want in wants.items():
+            assert abs(per_q[qid][metric] - want) < 1e-12, (qid, metric)
+    means = mean_metrics(per_q)
+    for metric, want in expected["mean"].items():
+        assert abs(means[metric] - want) < 1e-12, metric
+
+
 def test_parse_trec_run_roundtrip(tmp_path):
     from convdr_tpu.retrieval.run_writer import write_trec_run
 

@@ -155,8 +155,54 @@ def test_five_program_chain(chain):
     ])
     # metrics computed in-process over the ETL qrels (4 judged turn-1
     # queries; turn-2 queries are unjudged)
-    assert metrics["ndcg_cut_3"] >= 0.0
-    assert "recall_10" in metrics
+    assert "ndcg_cut_3" in metrics and "recall_10" in metrics
+
+    # ---- retrieval correctness: the driver's TREC ranking must equal a
+    # numpy exact-oracle ranking of the same checkpoint's embeddings
+    # (set equality at top-10 per query) — the chain fails if retrieval,
+    # not just the file formats, regresses (VERDICT r4 Weak #3)
+    import jax.numpy as jnp
+
+    from convdr_tpu.data.token_cache import load_offset2pid
+    from convdr_tpu.drivers.run_convdr_inference import (
+        encode_queries,
+        get_arguments,
+    )
+    from convdr_tpu.evaluation.metrics import parse_trec_run
+    from convdr_tpu.retrieval.blocks import iter_embedding_blocks
+
+    infer_args = get_arguments([
+        "--model_path", str(chain / "model"),
+        "--eval_file", str(data / "eval_topics.jsonl"),
+        "--model_type", "rdot_nll",
+        "--ann_data_dir", str(chain / "embeddings"),
+        "--processed_data_dir", str(chain / "processed"),
+        "--raw_data_dir", str(data),
+        "--output_query_type", "raw",
+        "--max_concat_length", "48",
+        "--arch_size", "tiny",
+        "--no_mesh",
+    ])
+    qids, q_embs, _raw = encode_queries(
+        infer_args, str(chain / "model"), str(data / "eval_topics.jsonl"),
+        jnp.float32,
+    )
+    rows, rowids = [], []
+    for _b, emb, offs in iter_embedding_blocks(str(chain / "embeddings")):
+        rows.append(np.asarray(emb, np.float32))
+        rowids.append(np.asarray(offs, np.int64))
+    corpus = np.concatenate(rows)
+    rowids = np.concatenate(rowids)
+    offset2pid = load_offset2pid(str(chain / "processed"))
+    scores = q_embs.astype(np.float32) @ corpus.T
+    run = parse_trec_run(str(trec_file))
+    for r, qid in enumerate(qids):
+        top = rowids[np.argsort(-scores[r], kind="stable")[:10]]
+        oracle_pids = {offset2pid[int(o)] for o in top}
+        got_pids = {pid for pid, _s in run[qid][:10]}
+        assert got_pids == oracle_pids, (
+            f"{qid}: driver ranking diverged from the numpy oracle"
+        )
 
     # TREC run format: qid Q0 pid rank score ance, pids in the ETL's
     # remapped id space (CAR base 10,000,000 / MARCO dense ints)
