@@ -17,8 +17,11 @@ float32/bfloat16/int8) or --ivf_dir (resident IVF/IVFPQ probe, --nprobe).
 
 Output: the standard metrics JSON line when --qrels is given, plus a
 ``serving_latency`` JSON line with p50/p90/p99 per-turn milliseconds
-(tokenize + single dispatch + id mapping; the first, compile-heavy turn
-is excluded via a warmup call).
+(single dispatch + read-back + id mapping; this replay pre-tokenizes the
+eval set through ConvSearchDataset, so tokenize is outside the timed
+window here — the text entry point ``OnlineSearcher.search``, measured
+by scripts/bench_online.py, times it in and it is sub-ms on this host.
+The first, compile-heavy turn is excluded via a warmup call).
 """
 
 from __future__ import annotations

@@ -930,24 +930,9 @@ class IVFIndex:
         )
 
     def _refine_store(self, ann_data_dir: str, max_blocks):
-        key = (os.path.abspath(ann_data_dir), max_blocks)
-        cache = getattr(self, "_refine_stores", None)
-        if cache is None:
-            cache = self._refine_stores = {}
-        if key not in cache:
-            from convdr_tpu.retrieval.refine import RefineStore
+        from convdr_tpu.retrieval.refine import cached_refine_store
 
-            try:
-                cache[key] = RefineStore.open(
-                    ann_data_dir, self.dim, max_blocks=max_blocks
-                )
-            except (ValueError, OSError) as e:
-                logger.warning(
-                    "no random-access refine for %s (%s); falling back to "
-                    "the streaming block pass", ann_data_dir, e,
-                )
-                cache[key] = None
-        return cache[key]
+        return cached_refine_store(self, ann_data_dir, max_blocks)
 
     def rescore_block_pass(
         self,
@@ -1044,21 +1029,11 @@ class IVFIndex:
                 "not the ones this index was built from"
             )
         # exact ranking of the candidate set; ties (score desc, rowid asc)
-        key = np.where(valid, cand, np.iinfo(np.int64).max)
-        ord0 = np.argsort(key, axis=1, kind="stable")
-        cand = np.take_along_axis(cand, ord0, axis=1)
-        scores = np.take_along_axis(scores, ord0, axis=1)
-        kk = min(k, cand.shape[1])
-        sel = np.argsort(-scores, axis=1, kind="stable")[:, :kk]
-        out_s = np.take_along_axis(scores, sel, axis=1)
-        out_i = np.take_along_axis(cand, sel, axis=1)
-        if kk < k:
-            out_s = np.pad(
-                out_s, ((0, 0), (0, k - kk)), constant_values=NEG_INF
-            )
-            out_i = np.pad(out_i, ((0, 0), (0, k - kk)), constant_values=-1)
-        out_i = np.where(out_s <= NEG_INF, -1, out_i)
-        return out_s.astype(np.float32), out_i.astype(np.int32)
+        # — the SAME tail as RefineStore (the bit-parity contract between
+        # the streaming and random-access paths lives in one place)
+        from convdr_tpu.retrieval.refine import rank_candidate_tail
+
+        return rank_candidate_tail(scores, cand, k)
 
     # -- persistence --------------------------------------------------------
     def save(self, index_dir: str) -> None:

@@ -72,16 +72,15 @@ def history_to_inputs(
     match ConvSearchDataset's inference mode token for token
     (data/conv_dataset.py::_concat_session_ids; reference util.py:452-520).
     ``response_text`` injects a ``<response>`` passage before the current
-    question (man_can/auto_can serving).
+    question (man_can/auto_can serving); like the dataset path, the
+    injection happens inside ``_concat_session_ids`` — ``history`` must
+    NOT already contain the response utterance.
     """
     if not history:
         raise ValueError("history must contain at least the current question")
-    sentences = list(history)
-    if response_text is not None:
-        sentences.insert(-1, response_text)
     raw_ids = _concat_session_ids(
         tokenizer,
-        sentences,
+        list(history),
         is_bert_style=(model_type == "dpr"),
         response_text=response_text,
     )
@@ -111,9 +110,13 @@ class ServeStats:
     latencies: List[float]
 
     def percentile(self, p: float) -> float:
+        if not self.latencies:
+            raise ValueError("no completed search calls recorded yet")
         return float(np.percentile(np.asarray(self.latencies), p))
 
     def summary(self) -> dict:
+        if not self.latencies:
+            return {"count": 0}
         lat = np.asarray(self.latencies)
         return {
             "count": int(lat.shape[0]),
@@ -176,10 +179,14 @@ class OnlineSearcher:
     ) -> "OnlineSearcher":
         """Resident flat search over every block under ``ann_data_dir``.
 
-        The whole corpus is uploaded once (chunked, utils/transfer.py) in
-        ``storage_dtype``; float blocks SQ8-quantize on device when
-        ``storage_dtype='int8'`` (bit-identical to the host quantizer,
-        searcher.py::_quantize_block_dev).
+        Blocks upload one at a time (chunked, utils/transfer.py) in
+        ``storage_dtype`` and concatenate ON DEVICE: float blocks
+        SQ8-quantize per block when ``storage_dtype='int8'``
+        (bit-identical to the host quantizer,
+        searcher.py::_quantize_block_dev), so the peak HBM transient is
+        one float block plus the quantized corpus — never the whole
+        corpus at float width (a corpus that only fits resident as int8
+        would otherwise OOM before quantization).
         """
         from convdr_tpu.core.loading import load_model_and_params, make_apply_fn
         from convdr_tpu.ops.quant import Int8Quantizer
@@ -195,55 +202,67 @@ class OnlineSearcher:
             max_concat_length, tokenizer.max_len_single_sentence
         )
 
-        rows, offs = [], []
+        int8 = storage_dtype == "int8"
+        target = {
+            "float32": jnp.float32,
+            "bfloat16": jnp.bfloat16,
+            "int8": jnp.int8,
+        }[storage_dtype]
+        quantizer = Int8Quantizer.load_optional(ann_data_dir)
+        devs, offs = [], []
         for _b, emb, emb2offset in iter_embedding_blocks(
             ann_data_dir, max_blocks=max_blocks
         ):
-            rows.append(emb)
             offs.append(np.asarray(emb2offset, np.int64))
-        if not rows:
-            raise FileNotFoundError(f"No embedding blocks in {ann_data_dir}")
-        block0_rows = rows[0].shape[0]
-        corpus = rows[0] if len(rows) == 1 else np.concatenate(rows)
-        del rows
-        rowid_to_offset = np.concatenate(offs)
-        n = corpus.shape[0]
-
-        quantizer = None
-        if storage_dtype == "int8":
-            quantizer = Int8Quantizer.load_optional(ann_data_dir)
-            if corpus.dtype == np.int8:
+            if emb.shape[0] == 0:
+                continue
+            if int8:
+                if emb.dtype == np.int8:
+                    if quantizer is None:
+                        raise FileNotFoundError(
+                            f"int8 blocks in {ann_data_dir} have no "
+                            "int8_scales.npy sidecar"
+                        )
+                    devs.append(device_put_chunked(emb, jnp.int8))
+                else:
+                    if quantizer is None:
+                        # block 0 only — the same fallback sample the
+                        # offline BlockedSearcher fits on, so rankings
+                        # match it
+                        logger.warning(
+                            "no int8_scales.npy in %s; fitting scales on "
+                            "block 0", ann_data_dir,
+                        )
+                        quantizer = Int8Quantizer.fit(emb)
+                    p_float = device_put_chunked(emb)
+                    devs.append(
+                        _quantize_block_dev(
+                            p_float, jnp.asarray(quantizer.scales)
+                        )
+                    )
+                    del p_float
+            elif emb.dtype == np.int8:
+                # SQ8 blocks under a float config dequantize through the
+                # scales sidecar (a plain cast would drop the per-dim
+                # scales and corrupt the ranking)
                 if quantizer is None:
                     raise FileNotFoundError(
                         f"int8 blocks in {ann_data_dir} have no "
                         "int8_scales.npy sidecar"
                     )
-                corpus_dev = device_put_chunked(corpus, jnp.int8)
+                deq = emb.astype(np.float32) * quantizer.scales[None, :]
+                devs.append(device_put_chunked(deq, target))
+                del deq
             else:
-                if quantizer is None:
-                    # block 0 only — the same fallback sample the offline
-                    # BlockedSearcher fits on, so rankings match it
-                    logger.warning(
-                        "no int8_scales.npy in %s; fitting scales on "
-                        "block 0", ann_data_dir,
-                    )
-                    quantizer = Int8Quantizer.fit(corpus[:block0_rows])
-                p_float = device_put_chunked(corpus)
-                corpus_dev = _quantize_block_dev(
-                    p_float, jnp.asarray(quantizer.scales)
-                )
-                del p_float
-        else:
-            target = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
-                storage_dtype
-            ]
-            corpus_dev = device_put_chunked(corpus, target)
-        del corpus
+                devs.append(device_put_chunked(emb, target))
+        if not offs:
+            raise FileNotFoundError(f"No embedding blocks in {ann_data_dir}")
+        corpus_dev = devs[0] if len(devs) == 1 else jnp.concatenate(devs)
+        del devs
+        rowid_to_offset = np.concatenate(offs)
+        n = int(corpus_dev.shape[0])
 
-        scales_dev = (
-            jnp.asarray(quantizer.scales) if quantizer is not None else None
-        )
-        int8 = storage_dtype == "int8"
+        scales_dev = jnp.asarray(quantizer.scales) if int8 else None
         eff_block_rows = min(block_rows, n)
 
         @partial(jax.jit, static_argnums=())
@@ -392,7 +411,9 @@ class OnlineSearcher:
         """One dispatch: (ids [Q, L], mask [Q, L]) -> (scores, offsets).
 
         Each distinct Q compiles once (L is fixed at construction); online
-        serving is Q=1 per turn, evaluation replays can batch.
+        serving is Q=1 per turn, evaluation replays can batch. Records
+        dispatch + read-back + id mapping; the text entry point
+        :meth:`search` times host tokenization in as well.
         """
         import time
 
@@ -417,7 +438,12 @@ class OnlineSearcher:
         response_text: Optional[str] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """One conversation turn: history (current question last) ->
-        (scores [1, top_n], token-cache offsets [1, top_n])."""
+        (scores [1, top_n], token-cache offsets [1, top_n]). The recorded
+        latency is the FULL request wall: host tokenize + dispatch +
+        read-back + id mapping."""
+        import time
+
+        t0 = time.perf_counter()
         ids, mask = history_to_inputs(
             self.tokenizer,
             history,
@@ -425,4 +451,6 @@ class OnlineSearcher:
             max_concat_length=self.max_concat_length,
             response_text=response_text,
         )
-        return self.search_tokens(ids, mask)
+        out = self.search_tokens(ids, mask, record=False)
+        self.stats.latencies.append(time.perf_counter() - t0)
+        return out

@@ -358,24 +358,9 @@ class PQIndex:
         )
 
     def _refine_store(self, ann_data_dir: str, max_blocks):
-        key = (os.path.abspath(ann_data_dir), max_blocks)
-        cache = getattr(self, "_refine_stores", None)
-        if cache is None:
-            cache = self._refine_stores = {}
-        if key not in cache:
-            from convdr_tpu.retrieval.refine import RefineStore
+        from convdr_tpu.retrieval.refine import cached_refine_store
 
-            try:
-                cache[key] = RefineStore.open(
-                    ann_data_dir, self.dim, max_blocks=max_blocks
-                )
-            except (ValueError, OSError) as e:
-                logger.warning(
-                    "no random-access refine for %s (%s); falling back to "
-                    "the streaming block pass", ann_data_dir, e,
-                )
-                cache[key] = None
-        return cache[key]
+        return cached_refine_store(self, ann_data_dir, max_blocks)
 
     def rescore_block_pass(
         self,
@@ -441,24 +426,17 @@ class PQIndex:
                 f"index was built from {len(sizes)} blocks"
             )
         # exact float ranking of the candidate set; (score desc, pos asc)
-        key = np.where(pos >= 0, pos, np.iinfo(np.int64).max)
-        ord0 = np.argsort(key, axis=1, kind="stable")
-        pos = np.take_along_axis(pos, ord0, axis=1)
-        scores = np.take_along_axis(scores, ord0, axis=1)
-        kk = min(k, pos.shape[1])
-        sel = np.argsort(-scores, axis=1, kind="stable")[:, :kk]
-        out_s = np.take_along_axis(scores, sel, axis=1)
-        out_p = np.take_along_axis(pos, sel, axis=1)
-        if kk < k:
-            out_s = np.pad(
-                out_s, ((0, 0), (0, k - kk)), constant_values=NEG_INF
-            )
-            out_p = np.pad(out_p, ((0, 0), (0, k - kk)), constant_values=-1)
-        out_p = np.where(out_s <= NEG_INF, -1, out_p)
+        # — the SAME tail as RefineStore (the bit-parity contract between
+        # the streaming and random-access paths lives in one place)
+        from convdr_tpu.retrieval.refine import rank_candidate_tail
+
+        out_s, out_p = rank_candidate_tail(scores, pos, k)
         ids = np.where(
-            out_p >= 0, self.rowids[np.clip(out_p, 0, None)], -1
+            out_p >= 0,
+            self.rowids[np.clip(out_p.astype(np.int64), 0, None)],
+            -1,
         )
-        return out_s.astype(np.float32), ids.astype(np.int32)
+        return out_s, ids.astype(np.int32)
 
     # -- persistence --------------------------------------------------------
     def save(self, index_dir: str) -> None:

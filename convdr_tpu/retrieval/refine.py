@@ -173,6 +173,33 @@ def rank_candidate_tail(
     return out_s.astype(np.float32), out_i.astype(np.int32)
 
 
+def cached_refine_store(index, data_dir: str, max_blocks):
+    """Open-or-reuse a :class:`RefineStore` for ``data_dir``, cached on
+    ``index`` (IVFIndex/PQIndex share this — their ``rescore`` methods
+    call it per batch). Returns ``None`` when the directory has no
+    random-access format; callers then fall back to the streaming
+    block pass. The ``None`` is cached too: the format of an existing
+    directory does not change between calls."""
+    import logging
+
+    key = (os.path.abspath(data_dir), max_blocks)
+    cache = getattr(index, "_refine_stores", None)
+    if cache is None:
+        cache = index._refine_stores = {}
+    if key not in cache:
+        try:
+            cache[key] = RefineStore.open(
+                data_dir, index.dim, max_blocks=max_blocks
+            )
+        except (ValueError, OSError) as e:
+            logging.getLogger(index.__class__.__module__).warning(
+                "no random-access refine for %s (%s); falling back to "
+                "the streaming block pass", data_dir, e,
+            )
+            cache[key] = None
+    return cache[key]
+
+
 class RefineStore:
     """Random-access view over an embedding-block directory.
 
@@ -278,8 +305,14 @@ class RefineStore:
         return np.asarray(rows, np.float32)
 
     def gather_by_position(self, positions: np.ndarray) -> np.ndarray:
-        """Rows at global (block-concatenation order) positions, f32."""
+        """Rows at global (block-concatenation order) positions, f32.
+        Out-of-range positions (including -1 padding) raise — callers that
+        tolerate padding prefilter (refine_positional does)."""
         positions = np.asarray(positions, np.int64)
+        if positions.size and (
+            positions.min() < 0 or positions.max() >= self.ntotal
+        ):
+            raise IndexError("candidate position out of range")
         out = np.empty((positions.shape[0], self.dim), np.float32)
         starts = np.asarray([b.start for b in self.blocks], np.int64)
         which = np.searchsorted(starts, positions, side="right") - 1

@@ -188,10 +188,10 @@ def main():
                 rto = searcher._rowid_to_offset
                 lat2 = []
                 for it, h in enumerate([histories[0]] + histories):
+                    t0 = time.perf_counter()  # tokenize in, like search()
                     ids, mask = history_to_inputs(
                         tok, h, max_concat_length=args.max_concat_length
                     )
-                    t0 = time.perf_counter()
                     q = np.asarray(
                         enc(params, jnp.asarray(ids), jnp.asarray(mask))
                     )
@@ -232,10 +232,10 @@ def main():
             params = searcher.params
             lat2 = []
             for it, h in enumerate([histories[0]] + histories):
+                t0 = time.perf_counter()  # tokenize in, like search()
                 ids, mask = history_to_inputs(
                     tok, h, max_concat_length=args.max_concat_length
                 )
-                t0 = time.perf_counter()
                 q = np.asarray(
                     enc(params, jnp.asarray(ids), jnp.asarray(mask))
                 )

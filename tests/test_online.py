@@ -235,3 +235,69 @@ def test_history_tokenize_matches_dataset(workdir):
         )
         np.testing.assert_array_equal(ids[0], batch["concat_ids"][0])
         np.testing.assert_array_equal(mask[0], batch["concat_mask"][0])
+
+
+def test_history_tokenize_matches_dataset_man_can(tmp_path):
+    """The <response> injection must match the dataset's man_can path:
+    history_to_inputs takes the raw ``input`` turns (WITHOUT the response
+    inserted) plus response_text, exactly like parse_topics_file feeds
+    _concat_session_ids (reference util.py:463-466)."""
+    from convdr_tpu.data.conv_dataset import ConvSearchDataset
+    from convdr_tpu.data.tokenizers import load_tokenizer
+    from convdr_tpu.retrieval.online import history_to_inputs
+
+    tokenizer = load_tokenizer("roberta", "tiny")
+    topics = tmp_path / "topics.jsonl"
+    records = [
+        {
+            "topic_number": t + 1,
+            "query_number": 1,
+            "input": ["hi there", f"more on {topic}", f"treat {topic}?"],
+            "target": f"tell me about {topic}",
+            "manual_response": [f"{topic} overview", f"{topic} causes"],
+        }
+        for t, topic in enumerate(TOPICS)
+    ]
+    with open(topics, "w") as f:
+        for rec in records:
+            f.write(json.dumps(rec) + "\n")
+    dataset = ConvSearchDataset(
+        [str(topics)],
+        tokenizer,
+        mode="inference",
+        query_mode="man_can",
+        model_type="rdot_nll",
+        max_concat_length=64,
+    )
+    for batch, rec in zip(dataset.batches(1), records):
+        ids, mask = history_to_inputs(
+            tokenizer,
+            rec["input"],
+            model_type="rdot_nll",
+            max_concat_length=64,
+            response_text=rec["manual_response"][-2],
+        )
+        np.testing.assert_array_equal(ids[0], batch["concat_ids"][0])
+        np.testing.assert_array_equal(mask[0], batch["concat_mask"][0])
+
+
+def test_serve_stats_empty_summary():
+    from convdr_tpu.retrieval.online import ServeStats
+
+    stats = ServeStats([])
+    assert stats.summary() == {"count": 0}
+    with pytest.raises(ValueError):
+        stats.percentile(50)
+
+
+def test_gather_by_position_rejects_negative(tmp_path):
+    from convdr_tpu.retrieval.blocks import write_embedding_block
+    from convdr_tpu.retrieval.refine import RefineStore
+
+    rows = np.arange(12, dtype=np.float32).reshape(4, 3)
+    write_embedding_block(str(tmp_path), 0, rows, np.arange(4, dtype=np.int64))
+    store = RefineStore.open(str(tmp_path), 3)
+    with pytest.raises(IndexError):
+        store.gather_by_position(np.array([-1]))
+    with pytest.raises(IndexError):
+        store.gather_by_position(np.array([4]))
