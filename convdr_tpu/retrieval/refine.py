@@ -108,8 +108,11 @@ def locate_pickle_payload(
             window = f.read(win_hi - win_lo + 9)
             prefixes = [
                 b"\x8e" + struct.pack("<Q", nbytes),  # BINBYTES8
-                b"B" + struct.pack("<I", nbytes),  # BINBYTES
             ]
+            if nbytes <= 0xFFFFFFFF:
+                # >4 GiB payloads can only be BINBYTES8 (a u32 prefix
+                # cannot express them — packing one would raise)
+                prefixes.append(b"B" + struct.pack("<I", nbytes))
             if nbytes < 256:
                 prefixes.append(b"C" + bytes([nbytes]))  # SHORT_BINBYTES
             for prefix in prefixes:

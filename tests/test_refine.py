@@ -227,3 +227,15 @@ def test_refine_int8_positional_dequantizes(tmp_path):
     )
     np.testing.assert_array_equal(s, ws)
     np.testing.assert_array_equal(p, wp)
+
+
+def test_locate_pickle_payload_large_probe(tmp_path):
+    """Probing a dtype whose payload would exceed 4 GiB must skip the
+    u32 BINBYTES prefix (struct.pack('<I') raises above 2**32-1) instead
+    of crashing — 38M-scale bf16 blocks hit this via the f32 probe."""
+    from convdr_tpu.retrieval.refine import locate_pickle_payload
+
+    p = tmp_path / "x.pb"
+    p.write_bytes(b"\x00" * 64)
+    with pytest.raises(ValueError):
+        locate_pickle_payload(str(p), 1 << 29, 768)
