@@ -112,7 +112,12 @@ def main():
                     "OPQ exists for)")
     ap.add_argument("--sections", default="ivf,pq,ivfpq",
                     help="comma list of benchmark sections to run")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (debug/smoke only; "
+                    "timings are meaningless off-TPU)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     logging.basicConfig(level=logging.INFO)
 
     # ---- real corpus embeddings from the rehearsal blocks --------------

@@ -59,7 +59,8 @@ FILLER = (
 OWNED_PER_TOPIC = 12
 
 
-def make_corpus(path: str, n_passages: int, topics, rng, base_words: int = 30):
+def make_corpus(path: str, n_passages: int, topics, rng,
+                base_words: int = 30, pid_base: int = 0):
     """Passages with CAsT-like structure: each topic owns
     ``OWNED_PER_TOPIC`` passages rich in its subject words (so even a
     random-init teacher embeds them measurably closer to the topic's
@@ -86,7 +87,7 @@ def make_corpus(path: str, n_passages: int, topics, rng, base_words: int = 30):
                     words.append(subject[rng.randint(len(subject))])
                 if rng.rand() < 0.25:
                     words.append(FILLER[rng.randint(len(FILLER))])
-            f.write(f"{pid}\t{' '.join(words)}\n")
+            f.write(f"{pid_base + pid}\t{' '.join(words)}\n")
 
 
 def make_topics(eval_path, queries_path, topics, turns, rng):
