@@ -29,6 +29,14 @@ Usage (after `python scripts/rehearsal.py --workdir /tmp/rehearsal`):
         --rehearsal_workdir /tmp/rehearsal --out_workdir /tmp/real1m \
         --n_passages 950000
     python scripts/bench_ann_real.py --workdir /tmp/real1m --nlist 4096
+
+The default output reuses the rehearsal's blocks via hard links, which
+leaves two token-cache offset spaces side by side — sufficient for
+bench_ann_real (pure row-index recall) but not for the drivers. Pass
+``--unified`` to build one token cache over rehearsal + scale passages
+and re-encode everything from it: that workdir runs the production
+inference driver (offset→pid maps are consistent) and therefore
+``bench_serving.py`` at scale.
 """
 
 from __future__ import annotations
@@ -97,8 +105,20 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=517,
                     help="rng for scale passages/topics (!= rehearsal's 17)")
     ap.add_argument("--pid_base", type=int, default=10_000_000,
-                    help="scale pids start here so the merged dir stays "
-                    "usable by the drivers without id collisions")
+                    help="scale pids start here (disjoint from the "
+                    "rehearsal's 0..N pid space)")
+    ap.add_argument("--unified", action="store_true",
+                    help="build ONE token cache over rehearsal + scale "
+                    "passages and encode all rows from it. The default "
+                    "(hard-linked block merge) reuses the rehearsal's "
+                    "blocks but leaves two token-cache OFFSET spaces "
+                    "side by side — fine for bench_ann_real (row-index "
+                    "recall) but NOT for the drivers, which map offsets "
+                    "-> pids through one processed dir. --unified costs "
+                    "a full re-encode and yields a workdir the "
+                    "production drivers (and bench_serving.py) can run "
+                    "at scale: qrels/eval topics carry over because "
+                    "rehearsal pids are preserved verbatim.")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny arch + 8-device CPU mesh (pairs with a "
                     "`rehearsal.py --smoke` workdir)")
@@ -140,11 +160,24 @@ def main(argv=None):
             f"{WORDS[rng.randint(len(WORDS))]}"
             for _ in range(n_topics)
         ]
-        make_corpus(col, args.n_passages, topics, rng,
+        scale_col = (
+            os.path.join(raw, "collection_scale.tsv")
+            if args.unified else col
+        )
+        make_corpus(scale_col, args.n_passages, topics, rng,
                     pid_base=args.pid_base)
+        if args.unified:
+            # one collection, rehearsal pids first (preserved verbatim
+            # so the rehearsal's qrels stay valid), scale pids after
+            with open(col, "w") as out:
+                for src in (os.path.join(reh_raw, "collection.tsv"),
+                            scale_col):
+                    with open(src) as f:
+                        shutil.copyfileobj(f, out)
         open(col + ".done", "w").close()
         print(f"[scale] corpus: {args.n_passages} passages, "
-              f"{n_topics} topics, {time.time() - t0:.1f}s", flush=True)
+              f"{n_topics} topics, unified={args.unified}, "
+              f"{time.time() - t0:.1f}s", flush=True)
 
     # ---- 2) tokenize ----------------------------------------------------
     from convdr_tpu.drivers import gen_passage_embeddings, tokenize_collection
@@ -163,12 +196,13 @@ def main(argv=None):
               flush=True)
 
     # ---- 3) encode with the deterministic init teacher ------------------
-    if not _list_blocks(emb_new):
+    emb_out = emb_merged if args.unified else emb_new
+    if not _list_blocks(emb_out):
         t0 = time.time()
         gen_passage_embeddings.main([
             "--data_dir", processed,
             "--checkpoint", "init",
-            "--output_dir", emb_new,
+            "--output_dir", emb_out,
             "--cache_dir", os.path.join(wd, "cache"),
             "--per_gpu_eval_batch_size", str(args.batch_size),
             "--length_buckets", "auto",
@@ -180,15 +214,20 @@ def main(argv=None):
         print(f"[scale] encode done in {time.time() - t0:.1f}s", flush=True)
 
     # ---- 4) merge: rehearsal blocks first, scale blocks after -----------
-    for b in reh_blocks:
-        _link_block(reh_emb, b, emb_merged, b)
-    new_blocks = _list_blocks(emb_new)
-    for i, b in enumerate(new_blocks):
-        _link_block(emb_new, b, emb_merged, len(reh_blocks) + i)
+    if args.unified:
+        new_blocks = _list_blocks(emb_merged)
+    else:
+        for b in reh_blocks:
+            _link_block(reh_emb, b, emb_merged, b)
+        new_blocks = _list_blocks(emb_new)
+        for i, b in enumerate(new_blocks):
+            _link_block(emb_new, b, emb_merged, len(reh_blocks) + i)
 
     # ---- 5) eval topics + model pointers for bench_ann_real -------------
-    shutil.copy(os.path.join(reh_raw, "eval_topics.jsonl"),
-                os.path.join(raw, "eval_topics.jsonl"))
+    for fname in ("eval_topics.jsonl", "qrels.tsv", "queries.raw.tsv"):
+        src = os.path.join(reh_raw, fname)
+        if os.path.exists(src):
+            shutil.copy(src, os.path.join(raw, fname))
     model_link = os.path.join(wd, "model")
     if not os.path.exists(model_link):
         os.symlink(os.path.join(args.rehearsal_workdir, "model"),
